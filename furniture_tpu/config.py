@@ -1,0 +1,101 @@
+"""Typed configuration tree for furniture_tpu.
+
+Replaces the reference's ~60-flag argparse namespace
+(``furniture/config/furniture.py:16-312``) with one frozen dataclass that is
+hashable, so it can be passed as a static argument to ``jax.jit``.
+
+Defaults mirror the reference's argparse defaults exactly (citations inline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Physics integration parameters.
+
+    The reference inherits MuJoCo defaults from ``base.xml`` plus the
+    control-frequency flags (``config/furniture.py:72``,
+    ``env/furniture.py:172``).
+    """
+
+    timestep: float = 0.002          # MuJoCo default model timestep
+    control_freq: int = 10           # config/furniture.py:72
+    gravity: float = -9.81
+    # contact solver
+    solver_iters: int = 12           # Jacobi impulse iterations per substep
+    relaxation: float = 0.55         # Jacobi under-relaxation factor
+    baumgarte: float = 0.2           # position-correction fraction per substep
+    contact_slop: float = 0.001      # penetration tolerance (m)
+    friction: float = 2.0            # floor friction set at env/furniture.py:1971-1977
+    max_contacts_per_pair: int = 8
+    # stabilization velocity clamp (reference _slow_object: env/furniture.py:2821)
+    slow_clip: float = 0.2
+
+
+@dataclass(frozen=True)
+class AlignConfig:
+    """Connector alignment thresholds (``config/furniture.py:202-226``)."""
+
+    pos_dist: float = 0.1
+    rot_dist_up: float = 0.9
+    rot_dist_forward: float = 0.9
+    project_dist: float = 0.3
+
+
+@dataclass(frozen=True)
+class RewardConfig:
+    """Reward coefficients (``config/furniture.py:291-295``)."""
+
+    ctrl_penalty_coef: float = 1e-3
+    unstable_penalty_coef: float = 100.0
+    success_reward: float = 100.0
+    touch_reward: float = 10.0
+    pick_reward: float = 100.0
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """Top-level environment configuration."""
+
+    furniture_name: str = "table_lack_0825"
+    agent_type: str = "Cursor"       # Cursor | Sawyer | Baxter | Panda | Jaco | Fetch
+    control_type: str = "ik"         # ik | ik_quaternion | impedance | torque | velocity
+    max_episode_steps: int = 2000    # config/furniture.py:164-168
+    move_speed: float = 0.1          # config/furniture.py:84
+    rotate_speed: float = 22.5       # config/furniture.py:87 (degrees)
+    cursor_boundary: float = 1.5     # config/furniture.py:288
+    num_connects: int | None = None  # config/furniture.py:81 (None -> all welds)
+    # reset randomization (config/furniture.py:177-200)
+    furn_xyz_rand: float = 0.02
+    furn_rot_rand: float = 3.0       # degrees
+    agent_xyz_rand: float = 0.0
+    # cursor connect needs N consecutive connect steps (furniture_cursor.py:32)
+    num_connect_steps: int = 10
+    # observation toggles (config/furniture.py:229-285)
+    robot_ob: bool = True
+    object_ob: bool = True
+    object_ob_all: bool = True
+    subtask_ob: bool = False
+    # sub-configs
+    sim: SimConfig = field(default_factory=SimConfig)
+    align: AlignConfig = field(default_factory=AlignConfig)
+    reward: RewardConfig = field(default_factory=RewardConfig)
+    # control
+    control_timestep: float | None = None  # derived: 1/control_freq
+    action_repeat: int = 3           # env/furniture.py:172 (ik mode)
+
+    @property
+    def n_substeps(self) -> int:
+        """Physics substeps per control step (env/furniture.py:2877-2879)."""
+        return int((1.0 / self.control_freq) / self.sim.timestep)
+
+    def replace(self, **kw) -> "EnvConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def default_config(**overrides) -> EnvConfig:
+    return EnvConfig(**overrides)
