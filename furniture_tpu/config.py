@@ -91,7 +91,7 @@ class EnvConfig:
     @property
     def n_substeps(self) -> int:
         """Physics substeps per control step (env/furniture.py:2877-2879)."""
-        return int((1.0 / self.control_freq) / self.sim.timestep)
+        return int((1.0 / self.sim.control_freq) / self.sim.timestep)
 
     def replace(self, **kw) -> "EnvConfig":
         return dataclasses.replace(self, **kw)

@@ -1,0 +1,190 @@
+"""Vectorized collision detection for part collision prims.
+
+Static-shape contact generation (the ``nconmax`` analogue of the reference's
+``base.xml:5``): every potential contact has a fixed lane and a validity mask.
+
+Narrow phase, round-1 scheme:
+* geom vs floor plane: the geom's 8 box corners (spheres/cylinders use their
+  bounding box — exact for the resting face cases that dominate here)
+* geom vs geom: vertex-in-box tests both ways (8+8 candidate points/pair);
+  face-vertex contacts are the dominant regime for flat-pack furniture parts.
+  Edge-edge manifolds are a known refinement (tracked for a later round).
+
+All functions are per-env and ``vmap``-batched by the caller.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import transforms as T
+
+_CORNER_SIGNS = np.array(
+    [
+        [sx, sy, sz]
+        for sx in (-1.0, 1.0)
+        for sy in (-1.0, 1.0)
+        for sz in (-1.0, 1.0)
+    ]
+)  # [8,3]
+
+
+class Contacts(NamedTuple):
+    """A fixed-capacity contact set (one env)."""
+
+    point: jax.Array    # [K,3] world position
+    normal: jax.Array   # [K,3] world normal (a -> b: pushes a along +n)
+    depth: jax.Array    # [K] penetration (>0 means overlapping)
+    part_a: jax.Array   # [K] part index
+    part_b: jax.Array   # [K] part index, -1 = static world (floor)
+    friction: jax.Array  # [K]
+    mask: jax.Array     # [K] bool
+
+
+def _geom_world(model_np, state_pos, state_quat):
+    """World pose of every collision geom: part pose ∘ geom offset."""
+    gp = jnp.asarray(model_np["geom_pos"], jnp.float32)
+    gq = jnp.asarray(model_np["geom_quat"], jnp.float32)
+    part = model_np["geom_part"]
+    ppos = state_pos[part]
+    pquat = state_quat[part]
+    wpos = ppos + T.quat_rotate(pquat, gp)
+    wquat = T.quat_mul(pquat, gq)
+    return wpos, wquat
+
+
+def geom_box_sizes(model_np) -> np.ndarray:
+    """Effective box half-extents per geom (sphere r,r,r; cylinder r,r,h)."""
+    size = np.array(model_np["geom_size"], dtype=np.float32).copy()
+    gtype = np.asarray(model_np["geom_type"])
+    sphere = gtype == 1
+    size[sphere, 1] = size[sphere, 0]
+    size[sphere, 2] = size[sphere, 0]
+    cyl = gtype == 2
+    size[cyl, 1] = size[cyl, 0]
+    return size
+
+
+def floor_contacts(model_np, pos, quat, slop: float) -> Contacts:
+    """Corners of every collision geom vs the floor plane z=0.
+
+    The floor is the reference's ``FloorArena`` plane with friction 2.0
+    (``env/furniture.py:1971-1977``).
+    """
+    G = len(model_np["geom_part"])
+    sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)  # [G,3]
+    wpos, wquat = _geom_world(model_np, pos, quat)
+    corners_local = jnp.asarray(_CORNER_SIGNS, jnp.float32)[None] * sizes[:, None]  # [G,8,3]
+    cw = wpos[:, None] + T.quat_rotate(wquat[:, None], corners_local)  # [G,8,3]
+    cw = cw.reshape(G * 8, 3)
+    depth = -cw[:, 2]
+    mask = depth > -slop
+    part = jnp.asarray(np.repeat(model_np["geom_part"], 8))
+    fric = jnp.asarray(np.repeat(model_np["_floor_friction"], 8), jnp.float32)
+    n = jnp.zeros_like(cw).at[:, 2].set(1.0)
+    return Contacts(
+        point=cw,
+        normal=n,
+        depth=depth,
+        part_a=part,
+        part_b=jnp.full((G * 8,), -1, dtype=jnp.int32),
+        friction=fric,
+        mask=mask,
+    )
+
+
+def pair_contacts(model_np, pos, quat, group, slop: float) -> Contacts:
+    """Vertex-in-box contacts for all precompiled cross-part geom pairs.
+
+    ``group`` masks out pairs whose parts were welded into the same rigid
+    group (the reference's collision-bitmask rewrite on connect,
+    ``env/furniture.py:866-878``, reduces to exactly this predicate).
+    """
+    pairs = model_np["_pairs"]  # [NP,2] geom index pairs, precomputed
+    NP = len(pairs)
+    if NP == 0:
+        z3 = jnp.zeros((0, 3), jnp.float32)
+        z = jnp.zeros((0,), jnp.float32)
+        zi = jnp.zeros((0,), jnp.int32)
+        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool))
+
+    sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)
+    gpart = jnp.asarray(model_np["geom_part"])
+    wpos, wquat = _geom_world(model_np, pos, quat)
+    fric = jnp.asarray(model_np["geom_friction"], jnp.float32)
+
+    ga = jnp.asarray(pairs[:, 0])
+    gb = jnp.asarray(pairs[:, 1])
+
+    def verts_in_box(g_src, g_dst):
+        """Corners of g_src tested against box g_dst. Returns per-pair 8 pts."""
+        sz_s = sizes[g_src]                                    # [NP,3]
+        corners = jnp.asarray(_CORNER_SIGNS, jnp.float32)[None] * sz_s[:, None]
+        cw = wpos[g_src][:, None] + T.quat_rotate(wquat[g_src][:, None], corners)
+        # express in dst box frame
+        inv_q = T.quat_inv(wquat[g_dst])
+        local = T.quat_rotate(inv_q[:, None], cw - wpos[g_dst][:, None])  # [NP,8,3]
+        sz_d = sizes[g_dst][:, None]                           # [NP,1,3]
+        # per-axis penetration (positive inside)
+        pen = sz_d - jnp.abs(local)                            # [NP,8,3]
+        inside = jnp.all(pen > -slop, axis=-1)                 # [NP,8]
+        ax = jnp.argmin(pen, axis=-1)                          # [NP,8] min-pen axis
+        depth = jnp.min(pen, axis=-1)                          # [NP,8]
+        # normal: dst-box face axis, pointing from dst toward src corner side
+        sign = jnp.sign(jnp.take_along_axis(local, ax[..., None], -1))[..., 0]
+        n_local = jax.nn.one_hot(ax, 3, dtype=cw.dtype) * sign[..., None]
+        n_world = T.quat_rotate(wquat[g_dst][:, None], n_local)
+        return cw, n_world, depth, inside
+
+    # corners of A in B: normal pushes A out of B (normal on A = +n_world)
+    cw_ab, n_ab, d_ab, in_ab = verts_in_box(ga, gb)
+    # corners of B in A: normal from A's face pushes B out; flip so it acts on A
+    cw_ba, n_ba, d_ba, in_ba = verts_in_box(gb, ga)
+
+    point = jnp.concatenate([cw_ab.reshape(-1, 3), cw_ba.reshape(-1, 3)])
+    normal = jnp.concatenate([n_ab.reshape(-1, 3), -n_ba.reshape(-1, 3)])
+    depth = jnp.concatenate([d_ab.reshape(-1), d_ba.reshape(-1)])
+    inside = jnp.concatenate([in_ab.reshape(-1), in_ba.reshape(-1)])
+
+    pa = jnp.concatenate([jnp.repeat(gpart[ga], 8), jnp.repeat(gpart[gb], 8)])
+    pb = jnp.concatenate([jnp.repeat(gpart[gb], 8), jnp.repeat(gpart[ga], 8)])
+    pair_fric = jnp.maximum(fric[ga], fric[gb])
+    fr = jnp.concatenate([jnp.repeat(pair_fric, 8), jnp.repeat(pair_fric, 8)])
+
+    same_group = group[pa] == group[pb]
+    mask = inside & ~same_group
+    return Contacts(point, normal, depth, pa, pb, fr, mask)
+
+
+def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
+    return Contacts(*(jnp.concatenate([x, y]) for x, y in zip(a, b)))
+
+
+def precompute_collision_tables(model) -> dict:
+    """Host-side static tables used by the collision/narrow-phase functions.
+
+    Returns a dict of numpy arrays closed over by the jitted step.
+    """
+    out = {
+        "geom_part": np.asarray(model.geom_part),
+        "geom_pos": np.asarray(model.geom_pos, dtype=np.float32),
+        "geom_quat": np.asarray(model.geom_quat, dtype=np.float32),
+        "geom_size": np.asarray(model.geom_size, dtype=np.float32),
+        "geom_type": np.asarray(model.geom_type),
+        "geom_friction": np.asarray(model.geom_friction, dtype=np.float32),
+    }
+    out["_box_sizes"] = geom_box_sizes(out)
+    # floor friction: max(geom, floor=2.0) per reference floor setting
+    out["_floor_friction"] = np.maximum(out["geom_friction"], 2.0).astype(np.float32)
+    # cross-part geom pairs
+    gp = out["geom_part"]
+    G = len(gp)
+    pairs = [
+        (i, j) for i in range(G) for j in range(i + 1, G) if gp[i] != gp[j]
+    ]
+    out["_pairs"] = np.asarray(pairs, dtype=np.int32).reshape(len(pairs), 2)
+    return out

@@ -1,0 +1,268 @@
+"""Group-composite rigid-body integrator + masked Jacobi contact solver.
+
+Replaces MuJoCo's ``mj_step`` inner loop (reference
+``env/furniture.py:2877-2879``: ``control_timestep/model_timestep`` substeps
+per control step) for the free furniture parts. Welded parts are treated as
+one composite rigid body selected by the per-env ``group`` label array — see
+``furniture_tpu/physics/__init__`` for the design rationale.
+
+All functions operate on a single env and are ``vmap``-batched by callers.
+Shapes: P parts, K contact lanes (static capacity).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import transforms as T
+from .collide import Contacts, concat_contacts, floor_contacts, pair_contacts
+from .state import PartState
+
+
+def _group_aggregates(model_np, state: PartState, group):
+    """Composite mass properties of each part's rigid group.
+
+    Every part carries its group's composite values (mask-matmul over the
+    [P,P] membership matrix — tiny, and MXU-friendly at batch).
+    """
+    mass = jnp.asarray(model_np["part_mass"], jnp.float32)          # [P]
+    com_l = jnp.asarray(model_np["part_com"], jnp.float32)          # [P,3]
+    I_l = jnp.asarray(model_np["part_inertia"], jnp.float32)        # [P,3,3]
+
+    member = (group[:, None] == group[None, :]).astype(jnp.float32)  # [P,P]
+    com_w = state.pos + T.quat_rotate(state.quat, com_l)            # [P,3]
+    R = T.quat_to_mat(state.quat)                                   # [P,3,3]
+    I_w = jnp.einsum("pij,pjk,plk->pil", R, I_l, R)                 # R I R^T
+
+    g_mass = member @ mass                                          # [P]
+    g_com = (member @ (mass[:, None] * com_w)) / g_mass[:, None]    # [P,3]
+
+    d = com_w[None, :, :] - g_com[:, None, :]                       # [P,P,3]
+    d2 = jnp.sum(d * d, axis=-1)                                    # [P,P]
+    eye = jnp.eye(3, dtype=jnp.float32)
+    # parallel-axis term per (group-rep p, member q)
+    pa = mass[None, :, None, None] * (
+        d2[..., None, None] * eye - d[..., :, None] * d[..., None, :]
+    )                                                               # [P,P,3,3]
+    g_inertia = jnp.einsum("pq,qij->pij", member, I_w) + jnp.sum(
+        member[..., None, None] * pa, axis=1
+    )
+    g_inv_mass = 1.0 / g_mass
+    g_inv_inertia = jnp.linalg.inv(
+        g_inertia + 1e-8 * eye
+    )
+    return member, g_com, g_inv_mass, g_inv_inertia
+
+
+def _tangent_basis(n):
+    """Orthonormal (t1, t2) perpendicular to n (branch-free)."""
+    ref = jnp.where(
+        jnp.abs(n[..., 2:3]) < 0.9,
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), n.shape),
+        jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), n.shape),
+    )
+    t1 = T.unit(jnp.cross(n, ref))
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def _solve_contacts(
+    c: Contacts,
+    group,
+    g_com,
+    g_inv_mass,
+    g_inv_inertia,
+    lin_vel,
+    ang_vel,
+    dt,
+    iters: int,
+    relaxation: float,
+    baumgarte: float,
+    slop: float,
+):
+    """Impulse-accumulating Jacobi solve; returns updated group velocities.
+
+    Jacobi (not Gauss-Seidel) so every contact lane updates in parallel on
+    the VPU; under-relaxation keeps it convergent.
+    """
+    K = c.depth.shape[0]
+    P = group.shape[0]
+    valid = c.mask & (c.depth > -slop)
+    fmask = valid.astype(jnp.float32)
+
+    has_b = c.part_b >= 0
+    pb_safe = jnp.where(has_b, c.part_b, 0)
+
+    r_a = c.point - g_com[c.part_a]                                  # [K,3]
+    r_b = c.point - g_com[pb_safe]
+
+    inv_m_a = g_inv_mass[c.part_a]
+    inv_m_b = jnp.where(has_b, g_inv_mass[pb_safe], 0.0)
+    inv_I_a = g_inv_inertia[c.part_a]                                # [K,3,3]
+    inv_I_b = jnp.where(
+        has_b[:, None, None], g_inv_inertia[pb_safe], 0.0
+    )
+
+    t1, t2 = _tangent_basis(c.normal)
+    dirs = jnp.stack([c.normal, t1, t2], axis=1)                     # [K,3dir,3]
+
+    # effective mass per direction
+    rxd_a = jnp.cross(r_a[:, None, :], dirs)                         # [K,3,3]
+    rxd_b = jnp.cross(r_b[:, None, :], dirs)
+    w = (
+        inv_m_a[:, None]
+        + inv_m_b[:, None]
+        + jnp.einsum("kdi,kij,kdj->kd", rxd_a, inv_I_a, rxd_a)
+        + jnp.einsum("kdi,kij,kdj->kd", rxd_b, inv_I_b, rxd_b)
+    )                                                                # [K,3]
+    inv_w = 1.0 / jnp.maximum(w, 1e-8)
+
+    bias = -(baumgarte / dt) * jnp.maximum(c.depth - slop, 0.0)      # [K]
+
+    # membership scatter matrices (group of part_a / part_b -> all member parts)
+    mem_a = (group[c.part_a][:, None] == group[None, :]).astype(jnp.float32)  # [K,P]
+    mem_b = (
+        (group[pb_safe][:, None] == group[None, :]) & has_b[:, None]
+    ).astype(jnp.float32)
+
+    def apply(lam):                                                  # lam [K,3]
+        imp = jnp.einsum("kd,kdi->ki", lam, dirs) * fmask[:, None]   # [K,3]
+        tq_a = jnp.cross(r_a, imp)
+        tq_b = jnp.cross(r_b, -imp)
+        dlin = (mem_a - mem_b).T @ imp * g_inv_mass[:, None]         # [P,3]
+        ang_acc = mem_a.T @ tq_a + mem_b.T @ tq_b                    # [P,3]
+        dang = jnp.einsum("pij,pj->pi", g_inv_inertia, ang_acc)
+        return lin_vel + dlin, ang_vel + dang
+
+    def body(_, lam):
+        lv, av = apply(lam)
+        va = lv[c.part_a] + jnp.cross(av[c.part_a], r_a)
+        vb = jnp.where(
+            has_b[:, None], lv[pb_safe] + jnp.cross(av[pb_safe], r_b), 0.0
+        )
+        v_rel = va - vb                                              # [K,3]
+        vd = jnp.einsum("ki,kdi->kd", v_rel, dirs)                   # [K,3]
+        target = jnp.stack([vd[:, 0] + bias, vd[:, 1], vd[:, 2]], -1)
+        dlam = -target * inv_w * relaxation
+        lam_new = lam + dlam
+        # clamp: normal >= 0; friction cone |t| <= mu * n
+        ln = jnp.maximum(lam_new[:, 0], 0.0)
+        max_f = c.friction * ln
+        lt = jnp.clip(lam_new[:, 1:], -max_f[:, None], max_f[:, None])
+        return jnp.concatenate([ln[:, None], lt], axis=-1)
+
+    lam = jax.lax.fori_loop(0, iters, body, jnp.zeros((K, 3), jnp.float32))
+    return apply(lam)
+
+
+def _integrate(state: PartState, member, g_com, dt):
+    """Rigid group motion: rotate members about the group COM, translate."""
+    w = state.ang_vel                                                # [P,3]
+    angle = jnp.linalg.norm(w, axis=-1)
+    axis = w / jnp.maximum(angle[..., None], 1e-12)
+    dq = T.quat_from_axis_angle(axis, angle * dt)                    # [P,4]
+    rel = state.pos - g_com
+    new_pos = g_com + T.quat_rotate(dq, rel) + state.lin_vel * dt
+    new_quat = T.quat_normalize(T.quat_mul(dq, state.quat))
+    return state._replace(pos=new_pos, quat=new_quat)
+
+
+def _floor_projection(model_np, state: PartState, member, slop):
+    """Position-level correction: push groups up so no corner is below z=0.
+
+    The velocity-level Baumgarte handles gradual load; this hard projection
+    prevents tunneling after teleports (cursor moves, connect snaps)."""
+    contacts = floor_contacts(model_np, state.pos, state.quat, slop)
+    pen = jnp.where(contacts.mask, contacts.depth - slop, 0.0)
+    pen = jnp.maximum(pen, 0.0)
+    # max penetration per part, then per group
+    P = state.pos.shape[0]
+    per_part = jax.ops.segment_max(pen, contacts.part_a, num_segments=P)
+    per_group = jnp.max(member * per_part[None, :], axis=1)          # [P]
+    lift = jnp.zeros_like(state.pos).at[:, 2].set(per_group)
+    return state._replace(pos=state.pos + lift)
+
+
+def make_substep(model_np, cfg_sim):
+    """Build the single-substep function (closed over static model arrays)."""
+    dt = cfg_sim.timestep
+    gvec = jnp.array([0.0, 0.0, cfg_sim.gravity], jnp.float32)
+
+    def substep(state: PartState, group, gravity_scale):
+        member, g_com, g_inv_mass, g_inv_inertia = _group_aggregates(
+            model_np, state, group
+        )
+        # gravity on group: all members share the group's gravity scale
+        lin_vel = state.lin_vel + dt * gvec[None, :] * gravity_scale[:, None]
+
+        fc = floor_contacts(model_np, state.pos, state.quat, cfg_sim.contact_slop)
+        pc = pair_contacts(
+            model_np, state.pos, state.quat, group, cfg_sim.contact_slop
+        )
+        contacts = concat_contacts(fc, pc)
+
+        lv, av = _solve_contacts(
+            contacts,
+            group,
+            g_com,
+            g_inv_mass,
+            g_inv_inertia,
+            lin_vel,
+            state.ang_vel,
+            dt,
+            cfg_sim.solver_iters,
+            cfg_sim.relaxation,
+            cfg_sim.baumgarte,
+            cfg_sim.contact_slop,
+        )
+        state = state._replace(lin_vel=lv, ang_vel=av)
+        state = _integrate(state, member, g_com, dt)
+        state = _floor_projection(model_np, state, member, cfg_sim.contact_slop)
+        return state
+
+    return substep
+
+
+def substeps(substep_fn, state: PartState, group, gravity_scale, n: int):
+    """Run ``n`` physics substeps under ``lax.scan`` (static count)."""
+
+    def body(s, _):
+        return substep_fn(s, group, gravity_scale), None
+
+    out, _ = jax.lax.scan(body, state, None, length=n)
+    return out
+
+
+def control_step(substep_fn, state: PartState, group, held, n_substeps: int):
+    """One environment control step of free-part physics, reference semantics
+    (``env/furniture.py:2857-2887``): all part velocities are zeroed, held
+    groups get gravity compensation, then ``n_substeps`` integration steps.
+    """
+    state = state._replace(
+        lin_vel=jnp.zeros_like(state.lin_vel),
+        ang_vel=jnp.zeros_like(state.ang_vel),
+    )
+    gravity_scale = jnp.where(held, 0.0, 1.0)
+    state = substeps(substep_fn, state, group, gravity_scale, n_substeps)
+    # held groups re-stopped after the loop (env/furniture.py:2883-2887)
+    hold3 = held[:, None]
+    state = state._replace(
+        lin_vel=jnp.where(hold3, 0.0, state.lin_vel),
+        ang_vel=jnp.where(hold3, 0.0, state.ang_vel),
+    )
+    return state
+
+
+def physics_tables(model) -> dict:
+    """All static numpy tables the engine needs, derived from CompiledModel."""
+    from .collide import precompute_collision_tables
+
+    out = precompute_collision_tables(model)
+    out["part_mass"] = np.asarray(model.part_mass, dtype=np.float32)
+    out["part_com"] = np.asarray(model.part_com, dtype=np.float32)
+    out["part_inertia"] = np.asarray(model.part_inertia, dtype=np.float32)
+    return out
