@@ -187,4 +187,10 @@ def precompute_collision_tables(model) -> dict:
         (i, j) for i in range(G) for j in range(i + 1, G) if gp[i] != gp[j]
     ]
     out["_pairs"] = np.asarray(pairs, dtype=np.int32).reshape(len(pairs), 2)
+    # corner-lane -> part one-hot for scatter-free floor projection
+    P = int(gp.max()) + 1 if G else 0
+    lane_part = np.repeat(gp, 8)
+    out["_floor_assign"] = (
+        lane_part[None, :] == np.arange(P)[:, None]
+    )
     return out

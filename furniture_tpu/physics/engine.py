@@ -23,6 +23,35 @@ from .collide import Contacts, concat_contacts, floor_contacts, pair_contacts
 from .state import PartState
 
 
+def _inv3(a):
+    """Closed-form 3x3 inverse (adjugate/det). ``jnp.linalg.inv`` lowers to a
+    general LU solve on TPU — orders of magnitude slower for batched tiny
+    matrices than this fully-vectorized form."""
+    m00, m01, m02 = a[..., 0, 0], a[..., 0, 1], a[..., 0, 2]
+    m10, m11, m12 = a[..., 1, 0], a[..., 1, 1], a[..., 1, 2]
+    m20, m21, m22 = a[..., 2, 0], a[..., 2, 1], a[..., 2, 2]
+    c00 = m11 * m22 - m12 * m21
+    c01 = m02 * m21 - m01 * m22
+    c02 = m01 * m12 - m02 * m11
+    c10 = m12 * m20 - m10 * m22
+    c11 = m00 * m22 - m02 * m20
+    c12 = m02 * m10 - m00 * m12
+    c20 = m10 * m21 - m11 * m20
+    c21 = m01 * m20 - m00 * m21
+    c22 = m00 * m11 - m01 * m10
+    det = m00 * c00 + m01 * c10 + m02 * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    rows = jnp.stack(
+        [
+            jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c10, c11, c12], -1),
+            jnp.stack([c20, c21, c22], -1),
+        ],
+        axis=-2,
+    )
+    return rows * inv_det[..., None, None]
+
+
 def _group_aggregates(model_np, state: PartState, group):
     """Composite mass properties of each part's rigid group.
 
@@ -36,7 +65,7 @@ def _group_aggregates(model_np, state: PartState, group):
     member = (group[:, None] == group[None, :]).astype(jnp.float32)  # [P,P]
     com_w = state.pos + T.quat_rotate(state.quat, com_l)            # [P,3]
     R = T.quat_to_mat(state.quat)                                   # [P,3,3]
-    I_w = jnp.einsum("pij,pjk,plk->pil", R, I_l, R)                 # R I R^T
+    I_w = jnp.matmul(jnp.matmul(R, I_l), jnp.swapaxes(R, -1, -2))   # R I R^T
 
     g_mass = member @ mass                                          # [P]
     g_com = (member @ (mass[:, None] * com_w)) / g_mass[:, None]    # [P,3]
@@ -52,9 +81,7 @@ def _group_aggregates(model_np, state: PartState, group):
         member[..., None, None] * pa, axis=1
     )
     g_inv_mass = 1.0 / g_mass
-    g_inv_inertia = jnp.linalg.inv(
-        g_inertia + 1e-8 * eye
-    )
+    g_inv_inertia = _inv3(g_inertia + 1e-8 * eye)
     return member, g_com, g_inv_mass, g_inv_inertia
 
 
@@ -97,27 +124,41 @@ def _solve_contacts(
     has_b = c.part_b >= 0
     pb_safe = jnp.where(has_b, c.part_b, 0)
 
-    r_a = c.point - g_com[c.part_a]                                  # [K,3]
-    r_b = c.point - g_com[pb_safe]
-
-    inv_m_a = g_inv_mass[c.part_a]
-    inv_m_b = jnp.where(has_b, g_inv_mass[pb_safe], 0.0)
-    inv_I_a = g_inv_inertia[c.part_a]                                # [K,3,3]
-    inv_I_b = jnp.where(
-        has_b[:, None, None], g_inv_inertia[pb_safe], 0.0
+    # contact lanes have *static* part assignment: gather part-level
+    # quantities through constant one-hot matmuls (TPU gathers with a batch
+    # dim lower poorly; these fold into batched matmuls on the MXU)
+    oa = jax.nn.one_hot(c.part_a, P, dtype=jnp.float32)              # [K,P] const
+    ob = jax.nn.one_hot(pb_safe, P, dtype=jnp.float32) * has_b[:, None].astype(
+        jnp.float32
     )
+
+    r_a = c.point - oa @ g_com                                       # [K,3]
+    r_b = c.point - (jax.nn.one_hot(pb_safe, P, dtype=jnp.float32) @ g_com)
+
+    inv_m_a = oa @ g_inv_mass
+    inv_m_b = ob @ g_inv_mass
+    inv_I_a = jnp.einsum("kp,pij->kij", oa, g_inv_inertia)           # [K,3,3]
+    inv_I_b = jnp.einsum("kp,pij->kij", ob, g_inv_inertia)
 
     t1, t2 = _tangent_basis(c.normal)
     dirs = jnp.stack([c.normal, t1, t2], axis=1)                     # [K,3dir,3]
 
-    # effective mass per direction
+    # effective mass per direction; quadratic forms written as explicit
+    # broadcast-mul-sums (3-operand einsums over tiny inner dims lower
+    # catastrophically on TPU — measured ~10x slower)
     rxd_a = jnp.cross(r_a[:, None, :], dirs)                         # [K,3,3]
     rxd_b = jnp.cross(r_b[:, None, :], dirs)
+
+    def quad(rxd, inv_I):
+        # (rxd)ᵀ I⁻¹ (rxd) per direction: [K,d,3],[K,3,3] -> [K,d]
+        t = jnp.sum(inv_I[:, None, :, :] * rxd[:, :, None, :], axis=-1)
+        return jnp.sum(rxd * t, axis=-1)
+
     w = (
         inv_m_a[:, None]
         + inv_m_b[:, None]
-        + jnp.einsum("kdi,kij,kdj->kd", rxd_a, inv_I_a, rxd_a)
-        + jnp.einsum("kdi,kij,kdj->kd", rxd_b, inv_I_b, rxd_b)
+        + quad(rxd_a, inv_I_a)
+        + quad(rxd_b, inv_I_b)
     )                                                                # [K,3]
     inv_w = 1.0 / jnp.maximum(w, 1e-8)
 
@@ -130,20 +171,18 @@ def _solve_contacts(
     ).astype(jnp.float32)
 
     def apply(lam):                                                  # lam [K,3]
-        imp = jnp.einsum("kd,kdi->ki", lam, dirs) * fmask[:, None]   # [K,3]
+        imp = jnp.sum(lam[:, :, None] * dirs, axis=1) * fmask[:, None]  # [K,3]
         tq_a = jnp.cross(r_a, imp)
         tq_b = jnp.cross(r_b, -imp)
         dlin = (mem_a - mem_b).T @ imp * g_inv_mass[:, None]         # [P,3]
         ang_acc = mem_a.T @ tq_a + mem_b.T @ tq_b                    # [P,3]
-        dang = jnp.einsum("pij,pj->pi", g_inv_inertia, ang_acc)
+        dang = jnp.sum(g_inv_inertia * ang_acc[:, None, :], axis=-1)
         return lin_vel + dlin, ang_vel + dang
 
     def body(_, lam):
         lv, av = apply(lam)
-        va = lv[c.part_a] + jnp.cross(av[c.part_a], r_a)
-        vb = jnp.where(
-            has_b[:, None], lv[pb_safe] + jnp.cross(av[pb_safe], r_b), 0.0
-        )
+        va = oa @ lv + jnp.cross(oa @ av, r_a)
+        vb = ob @ lv + jnp.cross(ob @ av, r_b)
         v_rel = va - vb                                              # [K,3]
         vd = jnp.einsum("ki,kdi->kd", v_rel, dirs)                   # [K,3]
         target = jnp.stack([vd[:, 0] + bias, vd[:, 1], vd[:, 2]], -1)
@@ -179,9 +218,10 @@ def _floor_projection(model_np, state: PartState, member, slop):
     contacts = floor_contacts(model_np, state.pos, state.quat, slop)
     pen = jnp.where(contacts.mask, contacts.depth - slop, 0.0)
     pen = jnp.maximum(pen, 0.0)
-    # max penetration per part, then per group
-    P = state.pos.shape[0]
-    per_part = jax.ops.segment_max(pen, contacts.part_a, num_segments=P)
+    # max penetration per part (static corner->part one-hot, no scatter),
+    # then per group
+    assign = jnp.asarray(model_np["_floor_assign"])                  # [P,G*8]
+    per_part = jnp.max(jnp.where(assign, pen[None, :], 0.0), axis=1)
     per_group = jnp.max(member * per_part[None, :], axis=1)          # [P]
     lift = jnp.zeros_like(state.pos).at[:, 2].set(per_group)
     return state._replace(pos=state.pos + lift)

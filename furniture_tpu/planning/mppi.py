@@ -1,0 +1,145 @@
+"""MPPI (model-predictive path integral) planning over the batched env.
+
+Design (SURVEY.md §7.7): planner state lives on device; a plan step samples
+N action sequences around the current mean, rolls each out through the
+jitted env step (``vmap`` over samples, ``lax.scan`` over the horizon),
+softmax-weights the returns, and updates the mean. On a device mesh the
+sample axis is sharded with ``shard_map``; the softmax normalizer and the
+weighted mean reduce with ``psum`` over ICI (this is the TPU-native analogue
+of the reference's MPI data-parallel training, ``util/mpi.py``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from .. import transforms as T
+
+
+@dataclass(frozen=True)
+class MPPIConfig:
+    horizon: int = 16
+    n_samples: int = 256
+    temperature: float = 1.0
+    sigma: float = 0.3
+    gamma: float = 1.0  # discount on per-step cost
+
+
+def assembly_cost(env):
+    """Dense guidance cost for furniture assembly: distance + misalignment of
+    the next subtask's recipe connector pair, minus progress bonus.
+
+    Shaped after the alignment predicate the env checks
+    (``env/furniture.py:1057-1153``): position distance, up-vector cosine.
+    """
+    m = env.model
+
+    def cost(state) -> jax.Array:
+        cpos, cquat = env._conn_world(state.parts)
+        if m.n_conn == 0 or len(m.recipe_site1) == 0:
+            return jnp.float32(0.0)
+        rs1 = jnp.asarray(m.recipe_site1)
+        rs2 = jnp.asarray(m.recipe_site2)
+        # first recipe entry whose sites are not yet connected
+        open_mask = ~(
+            state.conn_connected[rs1] | state.conn_connected[rs2]
+        )
+        any_open = jnp.any(open_mask)
+        i = jnp.argmax(open_mask)
+        s1 = rs1[i]
+        s2 = rs2[i]
+        d = jnp.linalg.norm(cpos[s1] - cpos[s2])
+        up1 = T.up_vector_from_quat(cquat[s1])
+        up2 = T.up_vector_from_quat(cquat[s2])
+        misalign = 1.0 - jnp.sum(up1 * up2)
+        progress = -10.0 * state.num_connected.astype(jnp.float32)
+        return jnp.where(any_open, d + 0.3 * misalign, 0.0) + progress
+
+    return cost
+
+
+def make_mppi(env, cfg: MPPIConfig, cost_fn=None):
+    """Single-device MPPI plan step: (state, mean[H,dof], key) -> (mean, info)."""
+    cost_fn = cost_fn or assembly_cost(env)
+    H, S, dof = cfg.horizon, cfg.n_samples, env.dof
+
+    def rollout_return(state, actions):
+        """Total cost of one action sequence from ``state``. [H,dof] -> scalar."""
+
+        def body(carry, a):
+            st, total, disc = carry
+            st, _, rew, _, _ = env.step(st, a)
+            total = total + disc * (cost_fn(st) - rew)
+            return (st, total, disc * cfg.gamma), None
+
+        (_, total, _), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0), jnp.float32(1.0)), actions
+        )
+        return total
+
+    def plan(state, mean, key):
+        noise = jax.random.normal(key, (S, H, dof)) * cfg.sigma
+        samples = jnp.clip(mean[None] + noise, -1.0, 1.0)
+        costs = jax.vmap(lambda a: rollout_return(state, a))(samples)  # [S]
+        w = jax.nn.softmax(-costs / cfg.temperature)
+        new_mean = jnp.einsum("s,shd->hd", w, samples)
+        info = {"best_cost": jnp.min(costs), "mean_cost": jnp.mean(costs)}
+        return new_mean, info
+
+    return plan
+
+
+def make_sharded_mppi(env, cfg: MPPIConfig, mesh: Mesh, cost_fn=None, axis="env"):
+    """MPPI with the sample axis sharded over ``mesh``; softmax statistics
+    reduce with ``psum`` over the mesh axis (ICI on hardware)."""
+    cost_fn = cost_fn or assembly_cost(env)
+    H, S, dof = cfg.horizon, cfg.n_samples, env.dof
+    n_dev = mesh.devices.size
+    assert S % n_dev == 0, f"n_samples {S} must divide over {n_dev} devices"
+
+    plan_local = make_mppi(env, cfg, cost_fn)
+
+    def rollout_return(state, actions):
+        def body(carry, a):
+            st, total, disc = carry
+            st, _, rew, _, _ = env.step(st, a)
+            total = total + disc * (cost_fn(st) - rew)
+            return (st, total, disc * cfg.gamma), None
+
+        (_, total, _), _ = jax.lax.scan(
+            body, (state, jnp.float32(0.0), jnp.float32(1.0)), actions
+        )
+        return total
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),   # state + mean replicated, noise sharded
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def _plan_shard(state, mean, noise):
+        samples = jnp.clip(mean[None] + noise, -1.0, 1.0)   # [S/n,H,dof]
+        costs = jax.vmap(lambda a: rollout_return(state, a))(samples)
+        # global softmax via psum-normalized exponentials
+        local_min = jnp.min(costs)
+        global_min = jax.lax.pmin(local_min, axis)
+        e = jnp.exp(-(costs - global_min) / cfg.temperature)
+        z = jax.lax.psum(jnp.sum(e), axis)
+        w = e / z
+        new_mean = jax.lax.psum(jnp.einsum("s,shd->hd", w, samples), axis)
+        best = jax.lax.pmin(jnp.min(costs), axis)
+        return new_mean, best
+
+    def plan(state, mean, key):
+        noise = jax.random.normal(key, (S, H, dof)) * cfg.sigma
+        new_mean, best = _plan_shard(state, mean, noise)
+        return new_mean, {"best_cost": best}
+
+    return plan
