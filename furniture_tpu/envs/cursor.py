@@ -36,6 +36,7 @@ from .. import transforms as T
 from ..config import EnvConfig
 from ..models import CompiledModel, compile_model
 from ..physics import PartState, init_state
+from .assembly import AssemblyOps
 from ..physics.engine import make_substep, physics_tables, substeps
 
 _CURSOR_MARGIN = 0.06  # cursor box half 0.01 + geom margin 0.05
@@ -78,58 +79,18 @@ class CursorEnv:
         nc = self.config.num_connects
         self.success_num_connects = int(nc if nc is not None else m.num_connects)
         self.dof = 15
-
-    # -- geometry helpers --------------------------------------------------
+        # shared assembly machinery (alignment / connect / weld bookkeeping)
+        self.ops = AssemblyOps(self.model, self.config, self.tables)
 
     def _conn_world(self, parts: PartState):
-        m = self.model
-        cp = jnp.asarray(m.conn_pos, jnp.float32)
-        part = jnp.asarray(m.conn_part)
-        pos = parts.pos[part] + T.quat_rotate(parts.quat[part], cp)
-        quat = parts.quat[part]  # conn sites carry identity site quat
-        return pos, quat
+        """World pose of all connector sites (delegates to AssemblyOps)."""
+        return self.ops.conn_world(parts)
 
-    def _site_world(self, parts: PartState):
-        m = self.model
-        sp = jnp.asarray(m.site_pos, jnp.float32)
-        part = jnp.asarray(m.site_part)
-        return parts.pos[part] + T.quat_rotate(parts.quat[part], sp)
-
-    def _group_bbox(self, parts: PartState, group, ref_part):
-        """Bounding box over all sites of ``ref_part``'s group — including the
-        origin, replicating the min/max zero-init of
-        ``env/furniture.py:758-762``."""
-        m = self.model
-        site_w = self._site_world(parts)                     # [S,3]
-        in_group = group[jnp.asarray(m.site_part)] == group[ref_part]
-        big = 1e9
-        lo = jnp.min(
-            jnp.where(in_group[:, None], site_w, big), axis=0
-        )
-        hi = jnp.max(
-            jnp.where(in_group[:, None], site_w, -big), axis=0
-        )
-        lo = jnp.minimum(lo, 0.0)
-        hi = jnp.maximum(hi, 0.0)
-        return lo, hi
-
-    def _move_group(self, parts: PartState, group, base_part, move_offset, target_quat):
-        """Rigidly rotate ``base_part``'s group about the base part's origin to
-        ``target_quat`` and translate by ``move_offset``
-        (``env/furniture.py:724-747`` via ``transform_to_target_quat``)."""
-        in_group = group == group[base_part]                 # [P]
-        base_pose = jnp.concatenate([parts.pos[base_part], parts.quat[base_part]])
-        qpos = jnp.concatenate([parts.pos, parts.quat], axis=-1)  # [P,7]
-        new_pos, new_quat = T.transform_to_target_quat(
-            base_pose[None], qpos, target_quat[None]
-        )
-        new_pos = new_pos + move_offset[None]
-        pos = jnp.where(in_group[:, None], new_pos, parts.pos)
-        quat = jnp.where(in_group[:, None], new_quat, parts.quat)
-        return parts._replace(pos=pos, quat=quat)
+    # -- cursor-specific helpers --------------------------------------------
 
     def _part_overlaps_cursor(self, parts: PartState, cursor_pos):
-        """Per-part: does the cursor point-with-margin touch any geom?"""
+        """Per-part: does the cursor point-with-margin touch any geom?
+        (``env/furniture.py:785-798`` selection by cursor-geom overlap)."""
         tb = self.tables
         gpart = jnp.asarray(tb["geom_part"])
         gp = jnp.asarray(tb["geom_pos"], jnp.float32)
@@ -148,239 +109,18 @@ class CursorEnv:
             > 0
         )
 
-    # -- alignment predicate ----------------------------------------------
-
-    def _alignment(self, parts: PartState):
-        """Vectorized ``_is_aligned`` over all C×C conn-site pairs.
-
-        Returns (aligned[C,C] bool, target_quat[C,C,4]) — target is the
-        world quat the *first* site's frame should take
-        (``env/furniture.py:1057-1153``)."""
-        m = self.model
-        cfg = self.config.align
-        pos, quat = self._conn_world(parts)                  # [C,3],[C,4]
-        up = T.up_vector_from_quat(quat)                     # [C,3]
-        fwd = T.forward_vector_from_quat(quat)
-
-        C = self._C
-        pos1 = pos[:, None]
-        pos2 = pos[None, :]
-        d12 = pos2 - pos1
-        pos_dist = jnp.linalg.norm(d12, axis=-1)             # [C,C]
-        u12 = d12 / jnp.maximum(pos_dist[..., None], 1e-12)
-        rot_dist_up = jnp.einsum("id,jd->ij", up, up) / (
-            jnp.linalg.norm(up, axis=-1)[:, None]
-            * jnp.linalg.norm(up, axis=-1)[None, :]
-        )
-        project1_2 = jnp.einsum("ipd,ipd->ip", up[:, None].repeat(C, 1), u12)
-        project2_1 = jnp.einsum("jd,ijd->ij", up, -u12)
-
-        # allowed-angle case: rotate fwd_i about up_i by each table angle
-        angles = jnp.asarray(m.conn_angles, jnp.float32)     # [C,A]
-        amask = jnp.asarray(m.conn_angle_mask)               # [C,A]
-        f_rot = T.rotate_vector(
-            fwd[:, None, :], up[:, None, :], angles
-        )                                                    # [C,A,3]
-        cos_fa = jnp.einsum("iad,jd->ija", f_rot, fwd)       # [C,C,A]
-        ok_a = (cos_fa > cfg.rot_dist_forward) & amask[:, None, :]
-        any_ok = jnp.any(ok_a, axis=-1)                      # [C,C]
-        first_a = jnp.argmax(ok_a, axis=-1)                  # [C,C]
-        f_ang = jnp.take_along_axis(
-            jnp.broadcast_to(f_rot[:, None], (C, C) + f_rot.shape[1:]),
-            first_a[..., None, None].repeat(3, -1),
-            axis=2,
-        )[:, :, 0]                                           # [C,C,3]
-
-        # free-angle case (env/furniture.py:1088-1105)
-        cos_ff = jnp.einsum("id,jd->ij", fwd, fwd)
-        f_pos = T.rotate_vector_cos_siml(
-            fwd[:, None], up[:, None], cos_ff, 1.0
-        )                                                    # [C,C,3]
-        f_neg = T.rotate_vector_cos_siml(fwd[:, None], up[:, None], cos_ff, -1.0)
-        cp = jnp.einsum("ijd,jd->ij", f_pos, fwd)
-        cn = jnp.einsum("ijd,jd->ij", f_neg, fwd)
-        f_free = jnp.where((cp > cn)[..., None], f_pos, f_neg)
-
-        has_ang = jnp.asarray(m.conn_has_angles)[:, None]    # [C,1]
-        fwd_aligned = jnp.where(has_ang, any_ok, True)
-        f_chosen = jnp.where(has_ang[..., None], f_ang, f_free)
-        target_quat = T.lookat_to_quat(
-            jnp.broadcast_to(up[:, None], f_chosen.shape), f_chosen
-        )                                                    # [C,C,4]
-
-        up_ok = rot_dist_up > cfg.rot_dist_up
-        proj_ok = (jnp.abs(project1_2) > cfg.project_dist) & (
-            jnp.abs(project2_1) > cfg.project_dist
-        )
-        aligned = (
-            (pos_dist < cfg.pos_dist) & up_ok & fwd_aligned & proj_ok
-        ) | ((pos_dist < cfg.pos_dist / 2) & up_ok & fwd_aligned)
-        return aligned, target_quat
-
-    # -- connect machinery -------------------------------------------------
-
-    def _find_connectable(self, state: CursorState):
-        """First eligible aligned conn-site pair between the two held groups
-        (site iteration order of ``env/furniture.py:978-988``)."""
-        m = self.model
-        g1 = state.group[state.selected[0]]
-        g2 = state.group[state.selected[1]]
-        conn_group = state.group[jnp.asarray(m.conn_part)]   # [C]
-        in1 = conn_group == g1
-        in2 = conn_group == g2
-        pa = jnp.asarray(m.conn_pair_a)
-        pb = jnp.asarray(m.conn_pair_b)
-        compl_ = (pa[:, None] == pb[None, :]) & (pb[:, None] == pa[None, :])
-        free = ~state.conn_connected
-        elig = (
-            in1[:, None]
-            & in2[None, :]
-            & compl_
-            & free[:, None]
-            & free[None, :]
-        )
-        # weld-row existence gate (env/furniture.py:966-972)
-        wg1 = state.group[jnp.asarray(m.weld_part1)]
-        wg2 = state.group[jnp.asarray(m.weld_part2)]
-        gate = jnp.any(
-            ((wg1 == g1) | (wg1 == g2)) & ((wg2 == g1) | (wg2 == g2))
-        ) if self._W else jnp.array(False)
-
-        aligned, target_quat = self._alignment(state.parts)
-        ok = elig & aligned & gate
-        flat = ok.reshape(-1)
-        found = jnp.any(flat)
-        idx = jnp.argmax(flat)
-        s1 = idx // self._C
-        s2 = idx % self._C
-        return found, s1, s2, target_quat[s1, s2]
-
-    def _snap_connect(self, state: CursorState, s1, s2, target_quat) -> CursorState:
-        """Final connect: snap site2's group onto site1, weld, merge groups
-        (``env/furniture.py:847-924`` + ``_align_connectors`` :1224)."""
-        m = self.model
-        conn_part = jnp.asarray(m.conn_part)
-        p1 = conn_part[s1]
-        p2 = conn_part[s2]
-        cpos, _ = self._conn_world(state.parts)
-        site1_pos = cpos[s1]
-        site2_pos = cpos[s2]
-
-        # rigid map x -> A(x - site2) + site1 with A = target ∘ q(part2)^-1
-        A = T.quat_mul(target_quat, T.quat_inv(state.parts.quat[p2]))
-        in2 = state.group == state.group[p2]
-        new_pos = T.quat_rotate(A[None], state.parts.pos - site2_pos[None]) + site1_pos[None]
-        new_quat = T.quat_mul(A[None], state.parts.quat)
-        parts = state.parts._replace(
-            pos=jnp.where(in2[:, None], new_pos, state.parts.pos),
-            quat=jnp.where(in2[:, None], new_quat, state.parts.quat),
-            lin_vel=jnp.zeros_like(state.parts.lin_vel),
-            ang_vel=jnp.zeros_like(state.parts.ang_vel),
-        )
-
-        # floor lift: union bbox of both groups must have min z >= 0
-        lo1, _ = self._group_bbox(parts, state.group, p1)
-        lo2, _ = self._group_bbox(parts, state.group, p2)
-        min_z = jnp.minimum(lo1[2], lo2[2])
-        lift = jnp.where(min_z < 0, -min_z, 0.0)
-        in_either = (state.group == state.group[p1]) | in2
-        parts = parts._replace(
-            pos=parts.pos.at[:, 2].add(jnp.where(in_either, lift, 0.0))
-        )
-
-        # weld bookkeeping + group merge (g(p1) label <- g(p2),
-        # env/furniture.py:2749-2760)
-        weld_idx = jnp.asarray(m.weld_lookup)[p1, p2]
-        weld_active = jnp.where(
-            (jnp.arange(self._W) == weld_idx) & (weld_idx >= 0),
-            True,
-            state.weld_active,
-        )
-        g1 = state.group[p1]
-        g2 = state.group[p2]
-        group = jnp.where(state.group == g1, g2, state.group)
-
-        conn_connected = state.conn_connected.at[s1].set(True).at[s2].set(True)
-
-        # next subtask: first weld whose parts are in different groups
-        # (env/furniture.py:2723-2736)
-        if self._W:
-            wg1 = group[jnp.asarray(m.weld_part1)]
-            wg2 = group[jnp.asarray(m.weld_part2)]
-            open_w = wg1 != wg2
-            any_open = jnp.any(open_w)
-            w = jnp.argmax(open_w)
-            subtask = jnp.where(
-                any_open,
-                jnp.stack([jnp.asarray(m.weld_part1)[w], jnp.asarray(m.weld_part2)[w]]),
-                jnp.array([-1, -1]),
-            )
-        else:
-            subtask = jnp.array([-1, -1])
-
-        return state._replace(
-            parts=parts,
-            group=group,
-            weld_active=weld_active,
-            conn_connected=conn_connected,
-            num_connected=state.num_connected + 1,
-            selected=state.selected.at[1].set(-1),
-            connect_step=jnp.array(0),
-            connected_body1=p1,
-            connected_body1_pos=parts.pos[p1],
-            connected_body1_quat=parts.quat[p1],
-            subtask=subtask,
-        )
-
-    def _interp_connect(self, state: CursorState, s1, s2, target_quat) -> CursorState:
-        """Intermediate connect step: ease site2's group toward the snap target
-        (``env/furniture.py:995-1036``; per-step recomputation replaces the
-        reference's precomputed slerp/linspace schedule — the terminal snap
-        is identical)."""
-        m = self.model
-        conn_part = jnp.asarray(m.conn_part)
-        p2 = conn_part[s2]
-        cpos, _ = self._conn_world(state.parts)
-        site1_pos = cpos[s1]
-        site2_pos = cpos[s2]
-
-        A = T.quat_mul(target_quat, T.quat_inv(state.parts.quat[p2]))
-        body_target_pos = T.quat_rotate(A, state.parts.pos[p2] - site2_pos) + site1_pos
-        body_target_quat = T.quat_mul(A, state.parts.quat[p2])
-
-        N = self.config.num_connect_steps
-        k = state.connect_step
-        frac = 0.9 / jnp.maximum(N - k, 1).astype(jnp.float32)
-        cur_pos = state.parts.pos[p2]
-        cur_quat = state.parts.quat[p2]
-        step_pos = cur_pos + frac * (body_target_pos - cur_pos)
-        step_quat = T.quat_slerp(cur_quat, body_target_quat, frac)
-
-        parts = self._move_group(
-            state.parts, state.group, p2, step_pos - cur_pos,
-            step_quat,
-        )
-        parts = parts._replace(
-            lin_vel=jnp.zeros_like(parts.lin_vel),
-            ang_vel=jnp.zeros_like(parts.ang_vel),
-        )
-        return state._replace(parts=parts, connect_step=state.connect_step + 1)
-
     def _try_connect(self, state: CursorState) -> CursorState:
-        found, s1, s2, tq = self._find_connectable(state)
-
-        def on_found(st):
-            return jax.lax.cond(
-                st.connect_step < self.config.num_connect_steps,
-                lambda s: self._interp_connect(s, s1, s2, tq),
-                lambda s: self._snap_connect(s, s1, s2, tq),
-                st,
-            )
-
-        def on_missing(st):
-            return st._replace(connect_step=jnp.array(0))
-
-        return jax.lax.cond(found, on_found, on_missing, state)
+        """Cursor connect: both held groups' conn sites are the candidates
+        (``env/furniture.py:836-845``)."""
+        m = self.model
+        conn_group = state.group[jnp.asarray(m.conn_part)]   # [C]
+        g1 = state.group[jnp.maximum(state.selected[0], 0)]
+        g2 = state.group[jnp.maximum(state.selected[1], 0)]
+        prev = state.num_connected
+        state = self.ops.try_connect(state, conn_group == g1, conn_group == g2)
+        # deselect cursor 1 on successful connect (env/furniture.py:918-920)
+        sel1 = jnp.where(state.num_connected > prev, -1, state.selected[1])
+        return state._replace(selected=state.selected.at[1].set(sel1))
 
     # -- cursor sub-actions ------------------------------------------------
 
@@ -411,8 +151,8 @@ class CursorEnv:
             sel = jnp.maximum(st.selected[idx], 0)
             base_quat = st.parts.quat[sel]
             target_quat = T.euler_to_quat(rot, base_quat)
-            moved = self._move_group(st.parts, st.group, sel, move, target_quat)
-            lo, hi = self._group_bbox(moved, st.group, sel)
+            moved = self.ops.move_group(st.parts, st.group, sel, move, target_quat)
+            lo, hi = self.ops.group_bbox(moved, st.group, sel)
             inside = jnp.all(lo >= jnp.array([-b, -b, -0.05])) & jnp.all(
                 hi <= jnp.array([b, b, b])
             )
@@ -624,7 +364,7 @@ class CursorEnv:
             p1 = jnp.maximum(st.connected_body1, 0)
             cur = st.parts.pos[p1]
             move = st.connected_body1_pos - cur
-            moved = self._move_group(
+            moved = self.ops.move_group(
                 st.parts, st.group, p1, move, st.connected_body1_quat
             )
             moved = moved._replace(
