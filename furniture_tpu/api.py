@@ -203,3 +203,32 @@ def _cursor_factory(config: EnvConfig) -> CursorEnv:
 
 register_env("FurnitureCursorEnv", _cursor_factory)
 register_env("IKEACursor-v0", _cursor_factory)
+
+
+def _register_arm_envs():
+    from .envs.arm import make_arm_env
+
+    for agent in ("Sawyer", "Panda", "Jaco", "Fetch", "Baxter"):
+        factory = make_arm_env(agent)
+        register_env(f"Furniture{agent}Env", factory)
+        register_env(f"IKEA{agent}-v0", factory)
+
+    def _dense_factory(config: EnvConfig):
+        from .envs.sawyer_dense import FurnitureSawyerDenseRewardEnv
+
+        return FurnitureSawyerDenseRewardEnv(config.replace(agent_type="Sawyer"))
+
+    def _gen_factory(config: EnvConfig):
+        from .envs.sawyer_gen import FurnitureSawyerGenEnv
+
+        return FurnitureSawyerGenEnv(config.replace(agent_type="Sawyer"))
+
+    # gym-id parity: env/__init__.py:103-114 + furniture_sawyer_gen.py:738
+    register_env("IKEASawyerDense-v0", _dense_factory)
+    register_env("furniture-sawyer-densereward-v0", _dense_factory)
+    register_env("FurnitureSawyerDenseRewardEnv", _dense_factory)
+    register_env("IKEASawyerGen-v0", _gen_factory)
+    register_env("FurnitureSawyerGenEnv", _gen_factory)
+
+
+_register_arm_envs()

@@ -26,7 +26,8 @@ class SimConfig:
     control_freq: int = 10           # config/furniture.py:72
     gravity: float = -9.81
     # contact solver
-    solver_iters: int = 12           # Jacobi impulse iterations per substep
+    solver_iters: int = 24           # Jacobi impulse iterations per substep
+                                     # (mass-split sweeps need ~2x plain Jacobi)
     relaxation: float = 0.55         # Jacobi under-relaxation factor
     baumgarte: float = 0.2           # position-correction fraction per substep
     contact_slop: float = 0.001      # penetration tolerance (m)
@@ -34,6 +35,12 @@ class SimConfig:
     max_contacts_per_pair: int = 8
     # stabilization velocity clamp (reference _slow_object: env/furniture.py:2821)
     slow_clip: float = 0.2
+    # hard safety clamp on part velocities (replaces the reference's
+    # instability-exception reset, env/furniture.py:2889-2897)
+    max_velocity: float = 10.0
+    # kinematic-gripper squeeze overlap: fingers servo at most this far past
+    # first part contact (emulates MuJoCo's force-limited finger servos)
+    gripper_squeeze: float = 0.004
 
 
 @dataclass(frozen=True)
@@ -55,6 +62,44 @@ class RewardConfig:
     success_reward: float = 100.0
     touch_reward: float = 10.0
     pick_reward: float = 100.0
+
+
+@dataclass(frozen=True)
+class DenseRewardConfig:
+    """8-phase dense-reward coefficients
+    (``config/furniture_sawyer_dense.py:26-72``; defaults replicated)."""
+
+    diff_rew: bool = True
+    phase_bonus: float = 5000.0
+    eef_forward_dist_coef: float = 2.0
+    eef_up_dist_coef: float = 4.0
+    eef_rot_threshold: float = 0.95
+    gripper_penalty_coef: float = 1.0
+    move_other_part_penalty_coef: float = 50.0
+    drop_penalty_coef: float = 20.0
+    early_termination: bool = False
+    init_eef_pos_dist_coef: float = 100.0
+    move_eef_pos_dist_coef: float = 100.0
+    lower_eef_pos_dist_coef: float = 1000.0
+    grasp_dist_coef: float = 200.0
+    lift_z_dist_coef: float = 500.0
+    lift_xy_dist_coef: float = 250.0
+    lift_z_pos_threshold: float = 0.02
+    lift_xy_pos_threshold: float = 0.05
+    align_pos_dist_coef: float = 100.0
+    align_rot_dist_coef: float = 50.0
+    align_pos_threshold: float = 0.2
+    align_rot_threshold: float = 0.85
+    move_pos_dist_coef: float = 300.0
+    move_rot_dist_coef: float = 50.0
+    move_pos_threshold: float = 0.06
+    move_rot_threshold: float = 0.85
+    move_fine_pos_exp_coef: float = -25.0
+    move_fine_pos_dist_coef: float = 500.0
+    move_fine_rot_dist_coef: float = 200.0
+    aligned_bonus_coef: float = 10.0
+    ctrl_penalty_coef: float = 0.0001
+    phase_ob: bool = False
 
 
 @dataclass(frozen=True)
@@ -84,6 +129,7 @@ class EnvConfig:
     sim: SimConfig = field(default_factory=SimConfig)
     align: AlignConfig = field(default_factory=AlignConfig)
     reward: RewardConfig = field(default_factory=RewardConfig)
+    dense: DenseRewardConfig = field(default_factory=DenseRewardConfig)
     # control
     control_timestep: float | None = None  # derived: 1/control_freq
     action_repeat: int = 3           # env/furniture.py:172 (ik mode)

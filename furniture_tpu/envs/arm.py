@@ -1,0 +1,723 @@
+"""Batched articulated-arm environments (Sawyer / Panda / Jaco / Fetch /
+Baxter), rebuilt as pure jitted step functions.
+
+Reference semantics reproduced (citations into /root/reference):
+
+* control types
+  - ``ik``: eef-delta actions → persistent world-frame IK target, 20-iter
+    DLS IK, joint P-control velocities clipped to ±1, velocity actuators,
+    ×3 action repeat with velocity recomputation
+    (``env/furniture.py:2899-2996`` ``_do_ik_step``;
+    ``controllers/sawyer_ik_controller.py:51-88,240-277``)
+  - ``impedance``: normalized joint-velocity targets rescaled to actuator
+    ctrlranges (velocity servos; ``env/furniture.py:1277-1285`` +
+    ``_setup_action`` :3332-3380)
+  - ``torque``: direct motor torques on the ``robot_torque.xml`` variant
+    (``env/furniture.py:1268-1275``)
+  - new controllers (``position_orientation``/``position``/
+    ``joint_impedance``/``joint_velocity``/``joint_torque``): torque-space
+    controllers ported from ``controllers/arm_controller.py`` (see
+    ``furniture_tpu/controllers/osc.py``)
+* robot is gravity/bias-compensated every control step
+  (``qfrc_applied = qfrc_bias``, ``env/furniture.py:3371-3377``), so arm
+  dynamics reduce to M(q)q̈ = τ_act − D q̇ (integrated implicitly)
+* two-finger grasping is real contact physics: gripper geoms are kinematic
+  colliders with prescribed surface velocities in the part contact solver
+  (the coupling MuJoCo provides natively; ``physics/collide.robot_contacts``)
+* connect requires both finger groups touching a part, then runs the shared
+  connect state machine on that part's group vs all others
+  (``env/furniture.py:1290-1330``, ``_try_connect`` :926)
+* sparse reward: touch / pick (once per part) + success × newly-connected
+  + ctrl penalty (``env/furniture.py:482-541``)
+* observations per agent env (``furniture_sawyer.py:103-155``):
+  ik → [gripper_qpos, eef_pos, eef_quat(xyzw), eef_velp, eef_velr];
+  impedance/torque prepend [joint_pos, joint_vel]
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import transforms as T
+from ..config import EnvConfig
+from ..controllers import dls_ik, ik_velocities
+from ..controllers.osc import (
+    joint_impedance_torques,
+    joint_velocity_torques,
+    load_controller_config,
+    orientation_error,
+    osc_torques,
+)
+from ..models import CompiledModel, compile_model
+from ..physics import PartState, init_state
+from ..physics.collide import robot_contacts
+from ..physics.engine import make_substep, physics_tables, robot_contact_tables
+from ..robots import AGENT_SPECS, compile_robot
+from ..robots import kinematics as K
+from .assembly import AssemblyOps, sample_placement
+
+NEW_CONTROLLERS = (
+    "position_orientation",
+    "position",
+    "joint_impedance",
+    "joint_velocity",
+    "joint_torque",
+)
+
+# gripper scalar → joint-control sign map (reference format_action:
+# two_finger_gripper.py:66-73, panda_gripper.py:65-71, fetch_gripper.py:63-68;
+# Jaco replicates the scalar over 3 finger joints, env/furniture.py:2966)
+_GRIPPER_SIGNS = {
+    "two_finger_gripper": [1.0, -1.0],
+    "left_two_finger_gripper": [1.0, -1.0],
+    "panda_gripper": [-1.0, 1.0],
+    "fetch_gripper": [1.0, 1.0],
+    "jaco_gripper": [1.0, 1.0, 1.0],
+}
+
+# reference gripper workspace box (env/furniture.py:170-171)
+_MIN_GRIPPER_POS = np.array([-1.5, -1.5, 0.0])
+_MAX_GRIPPER_POS = np.array([1.5, 1.5, 1.5])
+
+
+class ArmState(NamedTuple):
+    """Complete per-env state for an arm agent (a pytree of arrays)."""
+
+    # assembly fields (shared with AssemblyOps duck-typing)
+    parts: PartState
+    group: jax.Array
+    conn_connected: jax.Array
+    weld_active: jax.Array
+    num_connected: jax.Array
+    subtask: jax.Array
+    connect_step: jax.Array
+    connected_body1: jax.Array
+    connected_body1_pos: jax.Array
+    connected_body1_quat: jax.Array
+    # robot
+    qpos: jax.Array            # [NJ]
+    qvel: jax.Array            # [NJ]
+    ik_target_pos: jax.Array   # [n_arms,3] persistent IK target (world)
+    hand_quat_init: jax.Array  # [n_arms,4] accumulated target hand quat
+                               # (reference _initial_right_hand_quat)
+    # reward bookkeeping (env/furniture.py:516-521 _touched/_picked)
+    touched: jax.Array         # [P] bool
+    picked: jax.Array          # [P] bool
+    touch_l: jax.Array         # [n_arms,P] finger touches after last substep
+    touch_r: jax.Array         # [n_arms,P]
+    t: jax.Array
+
+
+class ArmEnv:
+    """Host-side factory for pure reset/step functions of one (agent,
+    furniture, control_type) combination. jit/vmap from the caller."""
+
+    def __init__(self, config: EnvConfig | None = None, model: CompiledModel | None = None):
+        self.config = config or EnvConfig(agent_type="Sawyer")
+        cfg = self.config
+        assert cfg.agent_type in AGENT_SPECS, cfg.agent_type
+        self.control_type = cfg.control_type
+        use_torque = self.control_type in ("torque",) + NEW_CONTROLLERS
+        self.robot = compile_robot(cfg.agent_type, use_torque=use_torque)
+        self.model = model or compile_model(cfg.furniture_name)
+        self.tables = physics_tables(self.model)
+        self.tables.update(robot_contact_tables(self.tables, self.robot))
+        self.substep = make_substep(self.tables, cfg.sim)
+        self.ops = AssemblyOps(self.model, cfg, self.tables)
+
+        m = self.model
+        r = self.robot
+        self._P = m.n_parts
+        self._C = m.n_conn
+        self._W = m.n_welds
+        nc = cfg.num_connects
+        self.success_num_connects = int(nc if nc is not None else m.num_connects)
+
+        self.arms = r.arms
+        self.n_arms = len(r.arms)
+
+        # static per-lane finger masks for touch detection
+        lane_rg = self.tables["_lane_rgeom"]
+        pairs = self.tables["_robot_pairs"]
+        NS = 15  # collide._SAMPLE_SIGNS15 points per pair side
+        lane_part = (
+            np.concatenate(
+                [
+                    np.repeat(self.tables["geom_part"][pairs[:, 1]], NS),
+                    np.repeat(self.tables["geom_part"][pairs[:, 1]], NS),
+                ]
+            )
+            if len(pairs)
+            else np.zeros(0, np.int32)
+        )
+        self._lane_part = lane_part
+        self._lane_l = {
+            arm: np.isin(lane_rg, r.finger_geoms_l[arm]) for arm in r.arms
+        }
+        self._lane_r = {
+            arm: np.isin(lane_rg, r.finger_geoms_r[arm]) for arm in r.arms
+        }
+
+        # action layout (reference dof properties, furniture_sawyer.py:53-64,
+        # furniture_baxter.py:52-63, furniture_jaco.py:53-64)
+        self.gripper_action_dims = {
+            arm: (len(_GRIPPER_SIGNS[AGENT_SPECS[cfg.agent_type]["grippers"][arm][0]])
+                  if self.control_type in ("impedance", "torque") + NEW_CONTROLLERS
+                  and cfg.agent_type == "Jaco" else 1)
+            for arm in r.arms
+        }
+        if self.control_type == "ik":
+            self.dof = 6 * self.n_arms + self.n_arms + 1
+        elif self.control_type == "ik_quaternion":
+            self.dof = 7 * self.n_arms + self.n_arms + 1
+        else:
+            self.dof = (
+                r.dof + sum(self.gripper_action_dims.values()) + 1
+            )
+
+        self._ctrl_cfg = load_controller_config()
+
+    # -- low-level control ---------------------------------------------------
+
+    def _format_ctrl(self, arm_ctrl, gripper_scalars):
+        """Assemble the [NA] actuator control vector from arm controls (already
+        in actuator order) + per-arm gripper scalars, rescaling normalized
+        inputs to actuator ctrlranges (``_setup_action``,
+        ``env/furniture.py:3332-3369``)."""
+        r = self.robot
+        spec = AGENT_SPECS[self.config.agent_type]
+        ctrl = jnp.zeros(r.na)
+        for arm in r.arms:
+            rows = r.arm_actuators[arm]
+            ctrl = ctrl.at[jnp.asarray(rows)].set(arm_ctrl[arm])
+            signs = jnp.asarray(
+                _GRIPPER_SIGNS[spec["grippers"][arm][0]], jnp.float32
+            )
+            g = gripper_scalars[arm] * signs  # formatted gripper action
+            grows = r.gripper_actuators[arm]
+            ctrl = ctrl.at[jnp.asarray(grows)].set(g[: len(grows)])
+        # rescale [-1,1] → ctrlrange
+        lo = jnp.asarray(r.act_ctrlrange[:, 0], jnp.float32)
+        hi = jnp.asarray(r.act_ctrlrange[:, 1], jnp.float32)
+        c = jnp.clip(ctrl, -1.0, 1.0)
+        return 0.5 * (hi + lo) + 0.5 * (hi - lo) * c
+
+    def _robot_geoms(self, fk_out, qvel):
+        rg_pos, rg_quat = K.geom_world(self.robot, fk_out)
+        rg_vel, rg_ang = K.geom_velocities(self.robot, fk_out, qvel)
+        return rg_pos, rg_quat, rg_vel, rg_ang
+
+    def _sim_substeps(self, state: ArmState, ctrl, tau_extra, n: int) -> ArmState:
+        """n coupled substeps: arm joint dynamics + part physics with the
+        gripper as kinematic collider (``_do_simulation``,
+        ``env/furniture.py:2857-2887`` — arm agents do NOT stop parts).
+
+        The joint-space inertia and per-geom Jacobians are computed once per
+        control step (the arm moves ≤ a few degrees per 0.05–0.1 s with
+        bias-compensated dynamics); only FK, actuator torques, and contacts
+        update per substep.
+        """
+        r = self.robot
+        cfg = self.config.sim
+
+        fk0 = K.fk(r, state.qpos)
+        M = K.mass_matrix(r, fk0)
+        jv, jw, com_w = K.body_jacobians(r, fk0)     # [NB,3,NJ]
+        gb = r.geom_body
+        jv_g = jv[gb]                                # [NG,3,NJ] (body-COM linear)
+        jw_g = jw[gb]
+        gpos0, _ = K.geom_world(r, fk0)
+        r_cg = gpos0 - com_w[gb]                     # COM→geom lever arms
+
+        def body(carry, _):
+            qpos, qvel, parts = carry
+            fk_out = K.fk(r, qpos)
+            rg_pos, rg_quat = K.geom_world(r, fk_out)
+            w_g = jw_g @ qvel                        # [NG,3]
+            rg_vel = jv_g @ qvel + jnp.cross(w_g, r_cg)
+            rg_ang = w_g
+            extra = robot_contacts(
+                self.tables,
+                self.tables["robot_np"],
+                parts.pos,
+                parts.quat,
+                rg_pos,
+                rg_quat,
+                rg_vel,
+                rg_ang,
+                cfg.contact_slop,
+            )
+            # contact-aware gripper servo: once finger penetration exceeds
+            # `gripper_squeeze`, the closing direction is blocked (target
+            # clamped to the current position); opening stays free. This
+            # emulates MuJoCo's force-limited finger servos — purely
+            # kinematic fingers would close straight through the part.
+            ctrl_eff = ctrl
+            for arm in self.arms:
+                lanes = jnp.asarray(self._lane_l[arm] | self._lane_r[arm])
+                pen = jnp.max(
+                    jnp.where(extra.mask & lanes, extra.depth, -jnp.inf)
+                )
+                deep = pen > cfg.gripper_squeeze
+                grows = jnp.asarray(r.gripper_actuators[arm])
+                gj = jnp.asarray(r.act_joint[r.gripper_actuators[arm]])
+                cs = jnp.asarray(
+                    r.act_close_sign[r.gripper_actuators[arm]], jnp.float32
+                )
+                held = jnp.where(
+                    cs > 0,
+                    jnp.minimum(ctrl[grows], qpos[gj]),
+                    jnp.maximum(ctrl[grows], qpos[gj]),
+                )
+                ctrl_eff = ctrl_eff.at[grows].set(
+                    jnp.where(deep, held, ctrl[grows])
+                )
+            tau, d_imp, k_imp = K.actuator_torques(r, qpos, qvel, ctrl_eff)
+            if tau_extra is not None:
+                tau = tau + tau_extra
+            qpos2, qvel2 = K.integrate(
+                r, M, qpos, qvel, tau, d_imp, k_imp, cfg.timestep
+            )
+            parts2 = self.substep(
+                parts, state.group, jnp.ones(self._P), extra_contacts=extra
+            )
+            return (qpos2, qvel2, parts2), extra.mask
+
+        (qpos, qvel, parts), masks = jax.lax.scan(
+            body, (state.qpos, state.qvel, state.parts), None, length=n
+        )
+        state = state._replace(qpos=qpos, qvel=qvel, parts=parts)
+        return self._update_touches(state, masks[-1])
+
+    def _update_touches(self, state: ArmState, contact_mask) -> ArmState:
+        """Finger-touch masks from the final substep's contact configuration
+        (``env/furniture.py:1290-1330`` scans ``sim.data.contact`` after the
+        control step)."""
+        lane_part = jnp.asarray(self._lane_part)
+        tl, tr = [], []
+        for arm in self.arms:
+            for masks, acc in ((self._lane_l[arm], tl), (self._lane_r[arm], tr)):
+                hit = contact_mask & jnp.asarray(masks)
+                acc.append(
+                    jax.ops.segment_max(
+                        hit.astype(jnp.int32), lane_part, num_segments=self._P
+                    )
+                    > 0
+                )
+        return state._replace(
+            touch_l=jnp.stack(tl), touch_r=jnp.stack(tr)
+        )
+
+    # -- control-type dispatch -------------------------------------------------
+
+    def _ik_step(self, state: ArmState, action) -> ArmState:
+        """``_do_ik_step`` (``env/furniture.py:2899-2996``)."""
+        cfg = self.config
+        r = self.robot
+        n_sub = cfg.n_substeps
+
+        new_tpos = []
+        new_hqi = []
+        q_cmd = state.qpos
+        for i, arm in enumerate(self.arms):
+            a = action[6 * i : 6 * i + 6]
+            # action deltas are world-frame. (The reference's axis swap at
+            # :2914 converts world→robot-base frame for its base-frame bullet
+            # IK target; composed with the base rotation Rz(-90°) it is the
+            # identity, so a world-frame IK target needs no swap.)
+            move = a[:3] * cfg.move_speed
+            fk_out = K.fk(r, state.qpos)
+            hand_pos, hand_quat = K.eef_pose(r, fk_out, arm)
+            dpos = jnp.clip(
+                move,
+                jnp.asarray(_MIN_GRIPPER_POS, jnp.float32) - hand_pos,
+                jnp.asarray(_MAX_GRIPPER_POS, jnp.float32) - hand_pos,
+            )
+            # rotation deltas are world-frame euler (left-multiplied). The
+            # reference right-multiplies through mixed wxyz/xyzw conventions
+            # (euler_to_quat at env/furniture.py:2917 on an xyzw quat read as
+            # wxyz); we keep one clean convention: action[3:5] rotate the
+            # hand about world x/y/z.
+            # the same 0.3 sensitivity low-pass as position — without it a
+            # ±1 rot action jumps the wrist target 22.5° in one control step,
+            # which flings grasped parts out of the friction grip
+            hqi = T.quat_mul(
+                T.euler_to_quat(0.3 * a[3:6] * cfg.rotate_speed),
+                state.hand_quat_init[i],
+            )
+            hqi = T.quat_normalize(hqi)
+            # anti-windup: keep the orientation target within 45° of the
+            # actual hand; an unbounded target makes the arm lurch (and fling
+            # grasped parts) when the IK finally finds a path to it
+            dq = T.quat_mul(hqi, T.quat_inv(hand_quat))
+            dq = jnp.where(dq[0] < 0, -dq, dq)
+            ang = 2.0 * jnp.arccos(jnp.clip(dq[0], -1.0, 1.0))
+            frac = jnp.minimum(1.0, (jnp.pi / 4) / jnp.maximum(ang, 1e-6))
+            hqi = T.quat_slerp(hand_quat, hqi, frac)
+            # target moves by user_sensitivity×dpos (the IK low-pass,
+            # sawyer_ik_controller.py:47,251); anti-windup keeps the target
+            # within 15 cm of the actual hand
+            tpos = state.ik_target_pos[i] + 0.3 * dpos
+            err = tpos - hand_pos
+            err_n = jnp.linalg.norm(err)
+            tpos = hand_pos + err * jnp.minimum(1.0, 0.15 / jnp.maximum(err_n, 1e-6))
+            # (the reference's extra -90° z offset, sawyer_ik_controller.py:
+            # 250-258, compensates pybullet's URDF eef frame differing from
+            # the MuJoCo hand frame — our IK runs on the hand frame directly,
+            # so no offset is needed)
+            tquat = hqi
+            q_cmd = dls_ik(r, arm, q_cmd, tpos, tquat)
+            new_tpos.append(tpos)
+            new_hqi.append(hqi)
+
+        state = state._replace(
+            ik_target_pos=jnp.stack(new_tpos), hand_quat_init=jnp.stack(new_hqi)
+        )
+
+        # gripper scalars (reassembled action layout, env/furniture.py:2919-2959)
+        grip = {
+            arm: action[6 * self.n_arms + i] for i, arm in enumerate(self.arms)
+        }
+
+        # ×action_repeat closed-loop repeats (env/furniture.py:2978-2996):
+        # velocities recomputed from the same commanded joint positions
+        def repeat_body(st, _):
+            arm_ctrl = {
+                arm: ik_velocities(st.qpos, q_cmd, r.arm_joints[arm])
+                for arm in self.arms
+            }
+            ctrl = self._format_ctrl(arm_ctrl, grip)
+            return self._sim_substeps(st, ctrl, None, n_sub), None
+
+        state, _ = jax.lax.scan(
+            repeat_body, state, None, length=cfg.action_repeat
+        )
+        return state
+
+    def _direct_step(self, state: ArmState, action) -> ArmState:
+        """``impedance`` (velocity servos) / ``torque`` (motors) modes:
+        normalized action rescaled to ctrlranges, one control step
+        (``env/furniture.py:1268-1285``)."""
+        r = self.robot
+        arm_ctrl = {}
+        k = 0
+        for arm in self.arms:
+            na = len(r.arm_actuators[arm])
+            arm_ctrl[arm] = action[k : k + na]
+            k += na
+        grip = {}
+        for arm in self.arms:
+            grip[arm] = action[k]
+            k += self.gripper_action_dims[arm]
+        ctrl = self._format_ctrl(arm_ctrl, grip)
+        return self._sim_substeps(state, ctrl, None, self.config.n_substeps)
+
+    def _controller_step(self, state: ArmState, action) -> ArmState:
+        """New-controller modes (``_do_controller_step``,
+        ``env/furniture.py:3065-3094``): compute torques from the ported
+        arm_controller math, hold them for one control step. Gripper scalar
+        rides the same actuator path."""
+        r = self.robot
+        cfg = self.config
+        ct = self.control_type
+        ccfg = self._ctrl_cfg.get(
+            "position_orientation" if ct in ("position",) else ct,
+            self._ctrl_cfg.get(ct, {}),
+        )
+
+        fk_out = K.fk(r, state.qpos)
+        M = K.mass_matrix(r, fk_out)
+        tau_extra = jnp.zeros(r.nj)
+        k = 0
+        for arm in self.arms:
+            arm_j = r.arm_joints[arm]
+            na = len(arm_j)
+            if ct in ("position_orientation", "position"):
+                a = action[k : k + (6 if ct == "position_orientation" else 3)]
+                k += 6 if ct == "position_orientation" else 3
+                eef_pos, eef_quat = K.eef_pose(r, fk_out, arm)
+                rng_pos = ccfg.get("control_range_pos", 0.05)
+                rng_ori = ccfg.get("control_range_ori", 0.2)
+                goal_pos = eef_pos + a[:3] * rng_pos
+                if ct == "position_orientation":
+                    d_euler = a[3:6] * rng_ori
+                    goal_mat = T.quat_to_mat(
+                        T.euler_to_quat(d_euler * 180.0 / np.pi, eef_quat)
+                    )
+                else:
+                    goal_mat = T.quat_to_mat(eef_quat)
+                kp = ccfg.get("initial_impedance_pos", 150.0)
+                kp_ori = ccfg.get("initial_impedance_ori", 150.0)
+                damping = ccfg.get("initial_damping", 1.0)
+                tau_arm = osc_torques(
+                    r, arm, fk_out, M, state.qpos, state.qvel,
+                    goal_pos, goal_mat, kp, kp_ori, damping,
+                    initial_joint=np.asarray(r.init_qpos)[arm_j],
+                    position_only=(ct == "position"),
+                )
+            elif ct == "joint_impedance":
+                a = action[k : k + na]
+                k += na
+                rng = jnp.asarray(
+                    (ccfg.get("control_range", [0.2] * na) * na)[:na], jnp.float32
+                )
+                goal_q = state.qpos[arm_j] + a * rng
+                kp = jnp.asarray((ccfg.get("kp_max", [100] * na) * na)[:na], jnp.float32) * 0.5
+                Ma = M[arm_j][:, arm_j]
+                tau_arm = joint_impedance_torques(
+                    Ma, state.qpos[arm_j], state.qvel[arm_j], goal_q, kp, 1.0
+                )
+            elif ct == "joint_velocity":
+                a = action[k : k + na]
+                k += na
+                kv = jnp.asarray((ccfg.get("kv", [8.0] * na) * na)[:na], jnp.float32)
+                rng = ccfg.get("control_range", 1.0)
+                rng = rng[0] if isinstance(rng, list) else rng
+                tau_arm = joint_velocity_torques(
+                    state.qvel[arm_j], a * rng, kv
+                )
+            else:  # joint_torque
+                a = action[k : k + na]
+                k += na
+                rng = ccfg.get("control_range", 1.0)
+                rng = rng[0] if isinstance(rng, list) else rng
+                tau_arm = a * rng
+            tau_extra = tau_extra.at[jnp.asarray(arm_j)].add(tau_arm)
+
+        grip = {}
+        for arm in self.arms:
+            grip[arm] = action[k]
+            k += self.gripper_action_dims[arm]
+        # zero arm actuator commands; gripper still position-servoed
+        ctrl = self._format_ctrl(
+            {arm: jnp.zeros(len(r.arm_actuators[arm])) for arm in self.arms},
+            grip,
+        )
+        # motors get zero ctrl; controller torque enters via tau_extra
+        return self._sim_substeps(state, ctrl, tau_extra, self.config.n_substeps)
+
+    # -- public API --------------------------------------------------------------
+
+    def reset(self, key) -> ArmState:
+        cfg = self.config
+        r = self.robot
+        k_place, k_agent = jax.random.split(key)
+        pos, quat = sample_placement(self.model, cfg, k_place)
+        parts = init_state(pos, quat)
+        group = jnp.arange(self._P, dtype=jnp.int32)
+
+        # settle parts (env/furniture.py:1535-1540)
+        from .assembly import settle_parts
+        from ..physics.engine import substeps as substeps_fn
+
+        parts = settle_parts(
+            lambda s, g, gs: self.substep(s, g, gs),
+            lambda fn, s, g, gs, n: substeps_fn(fn, s, g, gs, n),
+            parts,
+            group,
+            cfg.sim,
+        )
+
+        qpos = jnp.asarray(r.init_qpos, jnp.float32)
+        noise = cfg.agent_xyz_rand * jax.random.uniform(
+            k_agent, qpos.shape, minval=-1.0, maxval=1.0
+        )
+        qpos = qpos + noise
+        qvel = jnp.zeros_like(qpos)
+
+        fk_out = K.fk(r, qpos)
+        tpos, hqi = [], []
+        for arm in self.arms:
+            hp, hq = K.eef_pose(r, fk_out, arm)
+            tpos.append(hp)
+            hqi.append(hq)
+
+        state = ArmState(
+            parts=parts,
+            group=group,
+            conn_connected=jnp.zeros(self._C, bool),
+            weld_active=jnp.zeros(self._W, bool),
+            num_connected=jnp.array(0, jnp.int32),
+            subtask=self.ops.initial_subtask(),
+            connect_step=jnp.array(0, jnp.int32),
+            connected_body1=jnp.array(-1, jnp.int32),
+            connected_body1_pos=jnp.zeros(3),
+            connected_body1_quat=jnp.array([1.0, 0, 0, 0]),
+            qpos=qpos,
+            qvel=qvel,
+            ik_target_pos=jnp.stack(tpos),
+            hand_quat_init=jnp.stack(hqi),
+            touched=jnp.zeros(self._P, bool),
+            picked=jnp.zeros(self._P, bool),
+            touch_l=jnp.zeros((self.n_arms, self._P), bool),
+            touch_r=jnp.zeros((self.n_arms, self._P), bool),
+            t=jnp.array(0, jnp.int32),
+        )
+        return state
+
+    def observe(self, state: ArmState) -> dict:
+        cfg = self.config
+        r = self.robot
+        obs = {}
+        if cfg.object_ob:
+            obs["object_ob"] = jnp.concatenate(
+                [state.parts.pos, state.parts.quat], axis=-1
+            ).reshape(-1)
+        if cfg.robot_ob:
+            fk_out = K.fk(r, state.qpos)
+            feats = []
+            if self.control_type in ("impedance", "torque") + NEW_CONTROLLERS:
+                for arm in self.arms:
+                    feats.append(state.qpos[r.arm_joints[arm]])
+                    feats.append(state.qvel[r.arm_joints[arm]])
+            for arm in self.arms:
+                gj = r.gripper_joints[arm]
+                site_pos, _ = K.site_world(r, fk_out, arm)
+                _, hand_quat = K.eef_pose(r, fk_out, arm)
+                body = r.eef_body[arm]
+                Jsite = K.point_jacobian(r, fk_out, body, site_pos)
+                vel6 = Jsite @ state.qvel
+                feats.extend(
+                    [
+                        state.qpos[gj][:2],
+                        site_pos,
+                        T.convert_quat(hand_quat, to="xyzw"),
+                        vel6[:3],
+                        vel6[3:],
+                    ]
+                )
+            obs["robot_ob"] = jnp.concatenate(feats)
+        if cfg.subtask_ob:
+            obs["subtask_ob"] = state.subtask + 1
+        return obs
+
+    def step_physics(self, state: ArmState, action) -> ArmState:
+        """Control dispatch + physics + connect machinery + post-connect
+        snap-back; no reward. Shared by the sparse (``step``) and dense
+        (``envs/sawyer_dense.py``) reward layers."""
+        connect = action[-1]
+
+        if self.control_type in ("ik", "ik_quaternion"):
+            state = self._ik_step(state, action)
+        elif self.control_type in ("impedance", "torque"):
+            state = self._direct_step(state, action[:-1])
+        else:
+            state = self._controller_step(state, action[:-1])
+
+        # connect attempt (env/furniture.py:1290-1330): first part touched by
+        # both fingers of any arm
+        both = jnp.any(state.touch_l & state.touch_r, axis=0)   # [P]
+        any_touch = jnp.any(both)
+        target_part = jnp.argmax(both)
+
+        def do_connect(st: ArmState) -> ArmState:
+            conn_group = st.group[jnp.asarray(self.model.conn_part)]
+            g1 = st.group[target_part]
+            in1 = conn_group == g1
+            in2 = jnp.ones(self._C, bool)
+            return self.ops.try_connect(st, in1, in2)
+
+        state = jax.lax.cond(
+            (connect > 0) & any_touch,
+            do_connect,
+            lambda s: s._replace(connect_step=jnp.array(0)),
+            state,
+        )
+
+        # post-connect pose snap-back + one settle substep
+        # (env/furniture.py:426-436)
+        def snap_back(st: ArmState) -> ArmState:
+            p1 = jnp.maximum(st.connected_body1, 0)
+            cur = st.parts.pos[p1]
+            move = st.connected_body1_pos - cur
+            moved = self.ops.move_group(
+                st.parts, st.group, p1, move, st.connected_body1_quat
+            )
+            moved = moved._replace(
+                lin_vel=jnp.zeros_like(moved.lin_vel),
+                ang_vel=jnp.zeros_like(moved.ang_vel),
+            )
+            return st._replace(parts=moved, connected_body1=jnp.array(-1))
+
+        state = jax.lax.cond(
+            state.connected_body1 >= 0, snap_back, lambda s: s, state
+        )
+        return state
+
+    def step(self, state: ArmState, action):
+        """One control step with the base sparse reward. Returns
+        (state, obs, reward, done, info)."""
+        cfg = self.config
+        prev_connected = state.num_connected
+        state = self.step_physics(state, action)
+
+        # sparse reward (env/furniture.py:482-541)
+        both = jnp.any(state.touch_l & state.touch_r, axis=0)   # [P]
+        touching_floor = self._parts_on_floor(state.parts)
+        newly_touched = both & ~state.touched
+        touched = state.touched | both
+        newly_picked = both & ~touching_floor & ~state.picked
+        picked = state.picked | newly_picked
+        state = state._replace(touched=touched, picked=picked, t=state.t + 1)
+
+        newly = (state.num_connected - prev_connected).astype(jnp.float32)
+        touch_reward = cfg.reward.touch_reward * jnp.sum(newly_touched)
+        pick_reward = cfg.reward.pick_reward * jnp.sum(newly_picked)
+        ctrl_penalty = -cfg.reward.ctrl_penalty_coef * jnp.sum(
+            jnp.square(action[:-1])
+        )
+        success_reward = cfg.reward.success_reward * newly
+        reward = success_reward + touch_reward + pick_reward + ctrl_penalty
+
+        success = state.num_connected >= self.success_num_connects
+        done = success | (state.t >= cfg.max_episode_steps)
+        obs = self.observe(state)
+        info = {
+            "success": success,
+            "num_connected": state.num_connected,
+            "success_reward": success_reward,
+            "touch_reward": touch_reward,
+            "pick_reward": pick_reward,
+            "ctrl_penalty": ctrl_penalty,
+        }
+        return state, obs, reward, done, info
+
+    def _parts_on_floor(self, parts: PartState):
+        """Per-part floor contact (reference checks FLOOR geom contacts,
+        ``env/furniture.py:509-513``): any geom corner within slop of z=0."""
+        from ..physics.collide import floor_contacts
+
+        fc = floor_contacts(
+            self.tables, parts.pos, parts.quat, self.config.sim.contact_slop
+        )
+        return (
+            jax.ops.segment_max(
+                (fc.mask & (fc.depth > -0.002)).astype(jnp.int32),
+                fc.part_a,
+                num_segments=self._P,
+            )
+            > 0
+        )
+
+
+# -- agent-specific conveniences ------------------------------------------------
+
+
+def make_arm_env(agent_type: str):
+    """Factory-of-factories used by the registry in ``furniture_tpu.api``."""
+
+    def factory(config: EnvConfig) -> ArmEnv:
+        return ArmEnv(config.replace(agent_type=agent_type))
+
+    return factory
+
+
+SawyerEnv = make_arm_env("Sawyer")
+PandaEnv = make_arm_env("Panda")
+JacoEnv = make_arm_env("Jaco")
+FetchEnv = make_arm_env("Fetch")
+BaxterEnv = make_arm_env("Baxter")

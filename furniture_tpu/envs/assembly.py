@@ -349,3 +349,67 @@ class AssemblyOps:
                 [jnp.asarray(m.weld_part1)[0], jnp.asarray(m.weld_part2)[0]]
             ).astype(jnp.int32)
         return jnp.array([-1, -1], jnp.int32)
+
+
+def sample_placement(model, cfg, key):
+    """Randomized initial part placement with overlap rejection
+    (``placement_sampler.py:66-188`` ``UniformRandomSampler``: XML-init-pose
+    anchored xy noise, constant z-rotation offset, horizontal-radius circle
+    rejection re-sampled in part order). Returns (pos [P,3], quat [P,4])."""
+    P = model.n_parts
+    k_xy, k_rounds = jax.random.split(key)
+
+    base_pos = jnp.asarray(model.part_init_pos, jnp.float32)
+    base_quat = jnp.asarray(model.part_init_quat, jnp.float32)
+    r = cfg.furn_xyz_rand
+    xy = jax.random.uniform(k_xy, (P, 2), minval=-r, maxval=r)
+    pos = base_pos + jnp.concatenate([xy, jnp.full((P, 1), 0.01)], axis=-1)
+    # rotation noise: the reference samples uniform(low=max, high=max) —
+    # i.e. a *constant* offset of furn_rot_rand degrees
+    # (placement_sampler.py:125-137); replicated for parity.
+    rot = jnp.full((P, 3), 0.0).at[:, 0].set(cfg.furn_rot_rand)
+    quat = T.euler_to_quat(rot, base_quat)
+
+    radius = jnp.asarray(model.part_horiz_radius, jnp.float32)
+
+    def resample_round(i, carry):
+        pos, key = carry
+        key, sub = jax.random.split(key)
+        d = jnp.linalg.norm(pos[:, None, :2] - pos[None, :, :2], axis=-1)
+        rr = radius[:, None] + radius[None, :]
+        lower = jnp.tril(jnp.ones((P, P), bool), k=-1)  # j < i pairs
+        bad = jnp.any((d <= rr) & lower, axis=1)
+        new_xy = base_pos[:, :2] + jax.random.uniform(
+            sub, (P, 2), minval=-r, maxval=r
+        )
+        pos = pos.at[:, :2].set(jnp.where(bad[:, None], new_xy, pos[:, :2]))
+        return pos, key
+
+    pos, _ = jax.lax.fori_loop(0, 10, resample_round, (pos, k_rounds))
+    return pos, quat
+
+
+def settle_parts(substep_fn, substeps_fn, parts, group, cfg_sim, rounds: int = 10):
+    """Part stabilization at reset, reference semantics
+    (``env/furniture.py:1535-1540``: 10 × (stop objects, 10 substeps with
+    gravity compensation, clip velocities))."""
+    P = parts.pos.shape[0]
+    gscale = jnp.zeros(P)
+
+    def settle(i, p):
+        p = p._replace(
+            lin_vel=jnp.zeros_like(p.lin_vel),
+            ang_vel=jnp.zeros_like(p.ang_vel),
+        )
+        p = substeps_fn(substep_fn, p, group, gscale, 10)
+        clip = cfg_sim.slow_clip
+        return p._replace(
+            lin_vel=jnp.clip(p.lin_vel, -clip, clip),
+            ang_vel=jnp.clip(p.ang_vel, -clip, clip),
+        )
+
+    parts = jax.lax.fori_loop(0, rounds, settle, parts)
+    return parts._replace(
+        lin_vel=jnp.zeros_like(parts.lin_vel),
+        ang_vel=jnp.zeros_like(parts.ang_vel),
+    )

@@ -119,6 +119,7 @@ class CompiledModel:
     geom_solref: np.ndarray        # [G,2]
 
     # all sites [S] (bounding boxes; reference env/furniture.py:749-762)
+    site_names: tuple[str, ...]
     site_part: np.ndarray          # [S]
     site_pos: np.ndarray           # [S,3]
 
@@ -246,7 +247,7 @@ def compile_model(furniture_name: str) -> CompiledModel:
     geom_solref = np.array([r[6] for r in geom_rows], dtype=np.float64)
 
     # sites
-    site_part_l, site_pos_l = [], []
+    site_part_l, site_pos_l, site_names_l = [], [], []
     conn_rows = []
     horiz_radius = np.full(P, 0.05)
     pair_vocab: dict[str, int] = {}
@@ -258,6 +259,7 @@ def compile_model(furniture_name: str) -> CompiledModel:
             name = s["name"] or ""
             site_part_l.append(pi)
             site_pos_l.append(s["pos"])
+            site_names_l.append(name)
             if "conn_site" in name:
                 tokens = name.split(",")
                 pair = tokens[0].split("-")
@@ -273,6 +275,7 @@ def compile_model(furniture_name: str) -> CompiledModel:
     S = len(site_part_l)
     site_part = np.array(site_part_l, dtype=np.int32).reshape(S)
     site_pos = np.array(site_pos_l, dtype=np.float64).reshape(S, 3)
+    site_names = tuple(site_names_l)
 
     C = len(conn_rows)
     conn_names = tuple(r[0] for r in conn_rows)
@@ -334,6 +337,7 @@ def compile_model(furniture_name: str) -> CompiledModel:
         geom_quat=geom_quat,
         geom_friction=geom_friction,
         geom_solref=geom_solref,
+        site_names=site_names,
         site_part=site_part,
         site_pos=site_pos,
         conn_names=conn_names,

@@ -32,17 +32,40 @@ _CORNER_SIGNS = np.array(
     ]
 )  # [8,3]
 
+# corners + 6 face centers + box center: the denser sample set used for
+# gripper↔part contacts, where edge-edge and face-center configurations
+# (a rotated fingertip pad pressing a flat part face) dominate and pure
+# vertex-in-box manifolds lose contact
+_SAMPLE_SIGNS15 = np.concatenate(
+    [
+        _CORNER_SIGNS,
+        np.array(
+            [
+                [1.0, 0, 0], [-1.0, 0, 0],
+                [0, 1.0, 0], [0, -1.0, 0],
+                [0, 0, 1.0], [0, 0, -1.0],
+                [0.0, 0, 0],
+            ]
+        ),
+    ]
+)  # [15,3]
+
 
 class Contacts(NamedTuple):
-    """A fixed-capacity contact set (one env)."""
+    """A fixed-capacity contact set (one env).
+
+    ``vel_b`` is the prescribed world velocity of the b side at the contact
+    point for kinematic colliders (robot gripper geoms, ``part_b == -1``);
+    zero for floor and part-part lanes."""
 
     point: jax.Array    # [K,3] world position
     normal: jax.Array   # [K,3] world normal (a -> b: pushes a along +n)
     depth: jax.Array    # [K] penetration (>0 means overlapping)
     part_a: jax.Array   # [K] part index
-    part_b: jax.Array   # [K] part index, -1 = static world (floor)
+    part_b: jax.Array   # [K] part index, -1 = static world (floor/robot)
     friction: jax.Array  # [K]
     mask: jax.Array     # [K] bool
+    vel_b: jax.Array    # [K,3] prescribed b-side velocity (kinematic lanes)
 
 
 def _geom_world(model_np, state_pos, state_quat):
@@ -94,6 +117,7 @@ def floor_contacts(model_np, pos, quat, slop: float) -> Contacts:
         part_b=jnp.full((G * 8,), -1, dtype=jnp.int32),
         friction=fric,
         mask=mask,
+        vel_b=jnp.zeros_like(cw),
     )
 
 
@@ -110,7 +134,7 @@ def pair_contacts(model_np, pos, quat, group, slop: float) -> Contacts:
         z3 = jnp.zeros((0, 3), jnp.float32)
         z = jnp.zeros((0,), jnp.float32)
         zi = jnp.zeros((0,), jnp.int32)
-        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool))
+        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3)
 
     sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)
     gpart = jnp.asarray(model_np["geom_part"])
@@ -157,11 +181,114 @@ def pair_contacts(model_np, pos, quat, group, slop: float) -> Contacts:
 
     same_group = group[pa] == group[pb]
     mask = inside & ~same_group
-    return Contacts(point, normal, depth, pa, pb, fr, mask)
+    return Contacts(point, normal, depth, pa, pb, fr, mask, jnp.zeros_like(point))
 
 
 def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
     return Contacts(*(jnp.concatenate([x, y]) for x, y in zip(a, b)))
+
+
+def robot_contacts(
+    model_np,
+    robot_np,
+    pos,
+    quat,
+    rg_pos,
+    rg_quat,
+    rg_vel,
+    rg_angvel,
+    slop: float,
+) -> Contacts:
+    """Part geoms vs robot gripper geoms (kinematic colliders).
+
+    The robot side is treated as infinitely heavy — the part solver sees a
+    prescribed contact-point velocity instead of b-side inverse mass. This is
+    the coupling that lets the two-finger friction grasp of the reference
+    (``env/furniture.py:1290-1330`` finger-contact scan; MuJoCo solves the
+    same contacts two-way) lift and carry parts.
+
+    ``rg_pos/rg_quat`` [RG,3/4]: world poses of robot collision geoms this
+    substep; ``rg_vel/rg_angvel`` [RG,3]: world velocity of each geom center
+    and its body's angular velocity. Also returns per-lane robot geom ids via
+    the static table so envs can detect finger touches.
+    """
+    pairs = model_np["_robot_pairs"]            # [NP,2] (robot geom, part geom)
+    NP = len(pairs)
+    if NP == 0:
+        z3 = jnp.zeros((0, 3), jnp.float32)
+        z = jnp.zeros((0,), jnp.float32)
+        zi = jnp.zeros((0,), jnp.int32)
+        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3)
+
+    sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)
+    r_sizes = jnp.asarray(robot_np["_box_sizes"], jnp.float32)
+    gpart = jnp.asarray(model_np["geom_part"])
+    wpos, wquat = _geom_world(model_np, pos, quat)
+    fric = jnp.asarray(model_np["geom_friction"], jnp.float32)
+    r_fric = jnp.asarray(robot_np["geom_friction"], jnp.float32)
+
+    rg = jnp.asarray(pairs[:, 0])               # robot geom idx
+    pg = jnp.asarray(pairs[:, 1])               # part geom idx
+    corners = jnp.asarray(_SAMPLE_SIGNS15, jnp.float32)
+    NS = corners.shape[0]
+
+    # part-geom corners inside robot box
+    c_p = wpos[pg][:, None] + T.quat_rotate(
+        wquat[pg][:, None], corners[None] * sizes[pg][:, None]
+    )                                           # [NP,8,3]
+    inv_rq = T.quat_inv(rg_quat[rg])
+    loc_p = T.quat_rotate(inv_rq[:, None], c_p - rg_pos[rg][:, None])
+    pen_p = r_sizes[rg][:, None] - jnp.abs(loc_p)
+    in_p = jnp.all(pen_p > -slop, axis=-1)
+    ax_p = jnp.argmin(pen_p, axis=-1)
+    d_p = jnp.min(pen_p, axis=-1)
+    sgn_p = jnp.sign(jnp.take_along_axis(loc_p, ax_p[..., None], -1))[..., 0]
+    n_p = T.quat_rotate(
+        rg_quat[rg][:, None],
+        jax.nn.one_hot(ax_p, 3, dtype=c_p.dtype) * sgn_p[..., None],
+    )                                           # pushes part out of robot box
+
+    # robot-geom corners inside part box
+    c_r = rg_pos[rg][:, None] + T.quat_rotate(
+        rg_quat[rg][:, None], corners[None] * r_sizes[rg][:, None]
+    )
+    inv_pq = T.quat_inv(wquat[pg])
+    loc_r = T.quat_rotate(inv_pq[:, None], c_r - wpos[pg][:, None])
+    pen_r = sizes[pg][:, None] - jnp.abs(loc_r)
+    in_r = jnp.all(pen_r > -slop, axis=-1)
+    ax_r = jnp.argmin(pen_r, axis=-1)
+    d_r = jnp.min(pen_r, axis=-1)
+    sgn_r = jnp.sign(jnp.take_along_axis(loc_r, ax_r[..., None], -1))[..., 0]
+    # face normal of the part box pushes the robot corner out; flip to act on part
+    n_r = -T.quat_rotate(
+        wquat[pg][:, None],
+        jax.nn.one_hot(ax_r, 3, dtype=c_r.dtype) * sgn_r[..., None],
+    )
+
+    point = jnp.concatenate([c_p.reshape(-1, 3), c_r.reshape(-1, 3)])
+    normal = jnp.concatenate([n_p.reshape(-1, 3), n_r.reshape(-1, 3)])
+    depth = jnp.concatenate([d_p.reshape(-1), d_r.reshape(-1)])
+    inside = jnp.concatenate([in_p.reshape(-1), in_r.reshape(-1)])
+
+    pa = jnp.concatenate([jnp.repeat(gpart[pg], NS), jnp.repeat(gpart[pg], NS)])
+    pair_fric = jnp.maximum(fric[pg], r_fric[rg])
+    fr = jnp.concatenate([jnp.repeat(pair_fric, NS)] * 2)
+
+    # prescribed velocity of the robot surface at each contact point
+    rg2 = jnp.concatenate([jnp.repeat(rg, NS), jnp.repeat(rg, NS)])
+    r = point - rg_pos[rg2]
+    vel_b = rg_vel[rg2] + jnp.cross(rg_angvel[rg2], r)
+
+    return Contacts(
+        point,
+        normal,
+        depth,
+        pa,
+        jnp.full((NP * 2 * NS,), -1, dtype=jnp.int32),
+        fr,
+        inside,
+        vel_b,
+    )
 
 
 def precompute_collision_tables(model) -> dict:

@@ -162,13 +162,27 @@ def _solve_contacts(
     )                                                                # [K,3]
     inv_w = 1.0 / jnp.maximum(w, 1e-8)
 
-    bias = -(baumgarte / dt) * jnp.maximum(c.depth - slop, 0.0)      # [K]
+    # depenetration velocity clamped (max_depenetration_velocity analogue):
+    # deep overlaps (teleports, kinematic-finger squeezes) must not inject
+    # unbounded energy
+    bias = -jnp.minimum(
+        (baumgarte / dt) * jnp.maximum(c.depth - slop, 0.0), 0.5
+    )                                                                # [K]
 
     # membership scatter matrices (group of part_a / part_b -> all member parts)
     mem_a = (group[c.part_a][:, None] == group[None, :]).astype(jnp.float32)  # [K,P]
     mem_b = (
         (group[pb_safe][:, None] == group[None, :]) & has_b[:, None]
     ).astype(jnp.float32)
+
+    # mass splitting: Jacobi diverges when one body carries n redundant
+    # active lanes and every lane applies a full correction (growth factor
+    # ~ n·relaxation per sweep). Scale each lane's update by 1/n of the most
+    # contended side, which makes the sweep contractive for any lane count.
+    cnt_p = fmask @ (mem_a + mem_b)                                  # [P]
+    n_a = oa @ cnt_p
+    n_b = ob @ cnt_p
+    lane_scale = relaxation / jnp.maximum(jnp.maximum(n_a, n_b), 1.0)  # [K]
 
     def apply(lam):                                                  # lam [K,3]
         imp = jnp.sum(lam[:, :, None] * dirs, axis=1) * fmask[:, None]  # [K,3]
@@ -182,11 +196,13 @@ def _solve_contacts(
     def body(_, lam):
         lv, av = apply(lam)
         va = oa @ lv + jnp.cross(oa @ av, r_a)
-        vb = ob @ lv + jnp.cross(ob @ av, r_b)
+        # kinematic lanes (part_b = -1) have ob = 0 rows; their b-side motion
+        # is the prescribed vel_b (robot gripper surface velocity)
+        vb = ob @ lv + jnp.cross(ob @ av, r_b) + c.vel_b
         v_rel = va - vb                                              # [K,3]
         vd = jnp.einsum("ki,kdi->kd", v_rel, dirs)                   # [K,3]
         target = jnp.stack([vd[:, 0] + bias, vd[:, 1], vd[:, 2]], -1)
-        dlam = -target * inv_w * relaxation
+        dlam = -target * inv_w * lane_scale[:, None]
         lam_new = lam + dlam
         # clamp: normal >= 0; friction cone |t| <= mu * n
         ln = jnp.maximum(lam_new[:, 0], 0.0)
@@ -228,11 +244,16 @@ def _floor_projection(model_np, state: PartState, member, slop):
 
 
 def make_substep(model_np, cfg_sim):
-    """Build the single-substep function (closed over static model arrays)."""
+    """Build the single-substep function (closed over static model arrays).
+
+    ``extra_contacts`` (optional) is a prebuilt :class:`Contacts` set appended
+    to the floor/pair sets — used by arm envs to inject robot-gripper
+    kinematic contacts (``collide.robot_contacts``).
+    """
     dt = cfg_sim.timestep
     gvec = jnp.array([0.0, 0.0, cfg_sim.gravity], jnp.float32)
 
-    def substep(state: PartState, group, gravity_scale):
+    def substep(state: PartState, group, gravity_scale, extra_contacts=None):
         member, g_com, g_inv_mass, g_inv_inertia = _group_aggregates(
             model_np, state, group
         )
@@ -244,6 +265,8 @@ def make_substep(model_np, cfg_sim):
             model_np, state.pos, state.quat, group, cfg_sim.contact_slop
         )
         contacts = concat_contacts(fc, pc)
+        if extra_contacts is not None:
+            contacts = concat_contacts(contacts, extra_contacts)
 
         lv, av = _solve_contacts(
             contacts,
@@ -259,6 +282,11 @@ def make_substep(model_np, cfg_sim):
             cfg_sim.baumgarte,
             cfg_sim.contact_slop,
         )
+        # safety velocity clamp (the reference catches MuJoCo instability
+        # exceptions and resets, env/furniture.py:2889-2897; we bound energy
+        # instead so lanes never NaN)
+        lv = jnp.clip(lv, -cfg_sim.max_velocity, cfg_sim.max_velocity)
+        av = jnp.clip(av, -cfg_sim.max_velocity, cfg_sim.max_velocity)
         state = state._replace(lin_vel=lv, ang_vel=av)
         state = _integrate(state, member, g_com, dt)
         state = _floor_projection(model_np, state, member, cfg_sim.contact_slop)
@@ -306,3 +334,30 @@ def physics_tables(model) -> dict:
     out["part_com"] = np.asarray(model.part_com, dtype=np.float32)
     out["part_inertia"] = np.asarray(model.part_inertia, dtype=np.float32)
     return out
+
+
+def robot_contact_tables(tables: dict, robot) -> dict:
+    """Static tables for robot↔part contact coupling.
+
+    Pairs every gripper-side robot geom (``CompiledRobot.hand_geoms``) with
+    every part collision geom, plus the per-lane robot-geom map used for
+    finger-touch detection (reference finger-contact scan,
+    ``env/furniture.py:1290-1330``).
+    """
+    hand = np.flatnonzero(robot.hand_geoms)
+    part_geoms = np.arange(len(tables["geom_part"]))
+    pairs = np.array(
+        [(r, p) for r in hand for p in part_geoms], dtype=np.int32
+    ).reshape(-1, 2)
+    NS = 15  # collide._SAMPLE_SIGNS15 points per pair side
+    lane_rgeom = np.concatenate(
+        [np.repeat(pairs[:, 0], NS), np.repeat(pairs[:, 0], NS)]
+    ) if len(pairs) else np.zeros(0, np.int32)
+    return {
+        "_robot_pairs": pairs,
+        "_lane_rgeom": lane_rgeom,
+        "robot_np": {
+            "_box_sizes": np.asarray(robot.geom_size, dtype=np.float32),
+            "geom_friction": np.asarray(robot.geom_friction, dtype=np.float32),
+        },
+    }

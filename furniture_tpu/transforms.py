@@ -273,6 +273,30 @@ def rotate_vector_cos_siml(
 # pose ops
 # ---------------------------------------------------------------------------
 
+def angle_between2D(cur: jax.Array, tgt: jax.Array) -> jax.Array:
+    """Relative signed angle in radians between 2D vectors, range (-2π, 2π)
+    (reference ``transform_utils.py:688-700`` via ``pos_atan``)."""
+    a_cur = jnp.arctan2(cur[..., 1], cur[..., 0])
+    a_tgt = jnp.arctan2(tgt[..., 1], tgt[..., 0])
+    return a_tgt - a_cur
+
+
+def angle_between(v1: jax.Array, v2: jax.Array) -> jax.Array:
+    """Unsigned angle in radians between vectors
+    (``transform_utils.py:703-715``)."""
+    c = cos_siml(v1, v2)
+    return jnp.arccos(jnp.clip(c, -1.0, 1.0))
+
+
+def rotate_vector2D(vec: jax.Array, angle_rad: jax.Array) -> jax.Array:
+    """Rotate a 2D vector counterclockwise (``transform_utils.py:730-736``)."""
+    c, s = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    return jnp.stack(
+        [c * vec[..., 0] - s * vec[..., 1], s * vec[..., 0] + c * vec[..., 1]],
+        axis=-1,
+    )
+
+
 def rel_pose(pose1: jax.Array, pose2: jax.Array) -> jax.Array:
     """Pose of ``pose2`` in ``pose1``'s frame, as (pos3, quat4-wxyz).
 

@@ -1,0 +1,112 @@
+"""Dense-reward env and scripted demo generator tests.
+
+The generator progression test is the analogue of the reference's demo
+generation smoke run (``furniture_sawyer_gen.py:347-731``): the scripted
+policy must reach the grasp phases and actually pick the leg up.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from furniture_tpu.config import EnvConfig, SimConfig
+from furniture_tpu.envs.sawyer_dense import (
+    FurnitureSawyerDenseRewardEnv,
+    MOVE_EEF_ABOVE_LEG,
+    N_PHASES,
+)
+from furniture_tpu.envs.sawyer_gen import (
+    ALIGN_CONN,
+    FurnitureSawyerGenEnv,
+    GenPolicyState,
+    MOVE_WAYPOINTS,
+    _align2D,
+    _move_xy,
+    _move_z,
+)
+
+
+@pytest.fixture(scope="module")
+def dense_env():
+    return FurnitureSawyerDenseRewardEnv(
+        EnvConfig(agent_type="Sawyer", control_type="ik")
+    )
+
+
+def test_dense_reset_subtask_tables(dense_env):
+    env = dense_env
+    assert env.n_subtasks == 4  # table_lack recipe has 4 attachments
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    # subtask 0 has no grip_init -> starts at move_eef_above_leg
+    # (furniture_sawyer_dense.py:205-220)
+    assert int(s.phase_i) == MOVE_EEF_ABOVE_LEG
+    assert int(s.subtask_step) == 0
+    assert np.isfinite(np.asarray(s.init_table_site_pos)).all()
+
+
+def test_dense_step_reward_finite(dense_env):
+    env = dense_env
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    total = 0.0
+    for i in range(3):
+        s, obs, rew, done, info = step(s, jnp.zeros(env.dof))
+        total += float(rew)
+        assert np.isfinite(float(rew))
+        assert 0 <= int(info["phase_i"]) < N_PHASES * env.n_subtasks
+    assert not bool(done)
+
+
+def test_dense_phase_ob():
+    env = FurnitureSawyerDenseRewardEnv(
+        EnvConfig(
+            agent_type="Sawyer",
+            control_type="ik",
+        ).replace(dense=EnvConfig().dense.__class__(phase_ob=True))
+    )
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    obs = env.observe(s)
+    assert obs["phase_ob"].shape == (N_PHASES,)
+    assert float(obs["phase_ob"].sum()) == 1.0
+
+
+def test_gen_primitives():
+    d, reached = _move_xy(jnp.zeros(2), jnp.array([0.5, 0.0]), 0.01)
+    assert bool(d[0] == 1.0) and not bool(reached)  # saturated to sign
+    d, reached = _move_xy(jnp.zeros(2), jnp.array([0.005, 0.0]), 0.01)
+    assert bool(reached)
+    # align2D: rotating (1,0) onto (0,1) is +90° ccw
+    act = _align2D(jnp.array([1.0, 0.0]), jnp.array([0.0, 1.0]), 0.01)
+    np.testing.assert_allclose(float(act), np.pi / 2, atol=1e-5)
+    # deadband
+    act = _align2D(jnp.array([1.0, 0.001]), jnp.array([1.0, 0.0]), 0.01)
+    assert float(act) == 0.0
+    # move_z fine scaling clips at 0.02
+    d = _move_z(jnp.zeros(3), jnp.array([0.0, 0.0, 0.3]), 0.005, 0.0, fine=3.0)
+    assert abs(float(d[2]) - 0.02) < 1e-6
+
+
+def test_gen_policy_progression():
+    """Scripted policy must grasp the leg and reach the alignment phases
+    with the leg lifted."""
+    env = FurnitureSawyerGenEnv(EnvConfig(agent_type="Sawyer", control_type="ik"))
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    gen = jax.jit(env.init_policy_state)(s, jax.random.PRNGKey(1))
+    pol = jax.jit(env.scripted_action)
+    step = jax.jit(env.step)
+    max_phase = 0
+    lifted = False
+    for i in range(120):
+        a, gen = pol(gen, s)
+        s, obs, rew, done, info = step(s, a)
+        max_phase = max(max_phase, int(gen.phase))
+        leg = int(np.asarray(env._st["leg"])[int(gen.part)])
+        if float(s.parts.pos[leg][2]) > 0.1 and bool(
+            np.asarray(s.touch_l)[0, leg]
+        ):
+            lifted = True
+        if max_phase >= ALIGN_CONN and lifted:
+            break
+    assert max_phase >= MOVE_WAYPOINTS, f"only reached phase {max_phase}"
+    assert lifted, "scripted policy never lifted the leg while grasping"
