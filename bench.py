@@ -1,30 +1,38 @@
 #!/usr/bin/env python
-"""Throughput benchmark: batched cursor-env rollout steps/s on one TPU chip.
+"""Throughput benchmark on one TPU chip vs the reference's published numbers.
 
-Reference baseline: 491 env steps/s — Cursor agent, table_lack_0825, no
-rendering, on a Xeon Gold 6154 (``docs/more_info.md:35``, BASELINE.md).
-Each env step includes 50 physics substeps with contact solving, the connect
-state machine, and observation assembly — identical work per step to the
-reference's ``fps.py`` loop (500 random-action steps).
+Reference baselines (``docs/more_info.md:35``, BASELINE.md; Xeon 6154 +
+2080 Ti, no rendering):
+  Cursor 491 steps/s | Sawyer impedance 225 | Sawyer IK 44
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each env step does the same work per step as the reference's ``fps.py``
+loop: 50 physics substeps with contact solving (plus x3 action-repeat IK
+resolve for the IK mode), the connect state machine, and observation
+assembly — but batched over thousands of environments per chip.
+
+Prints ONE JSON line (the headline cursor metric) on stdout; the arm-agent
+numbers go to stderr as secondary diagnostics.
 """
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 from furniture_tpu.config import EnvConfig
+from furniture_tpu.envs.arm import ArmEnv
 from furniture_tpu.envs.cursor import CursorEnv
 
-BASELINE_STEPS_PER_S = 491.0  # docs/more_info.md:35 (Cursor, no render)
+BASELINES = {
+    "cursor": 491.0,           # docs/more_info.md:35 (Cursor, no render)
+    "sawyer_impedance": 225.0,  # docs/more_info.md:35
+    "sawyer_ik": 44.0,          # docs/more_info.md:35
+}
 
 
-def main(batch: int = 2048, horizon: int = 20):
-    env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
-
+def throughput(env, batch: int, horizon: int = 10, reps: int = 3) -> float:
     @jax.jit
     def rollout(states, key):
         def body(carry, _):
@@ -41,26 +49,51 @@ def main(batch: int = 2048, horizon: int = 20):
 
     key = jax.random.PRNGKey(0)
     states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, batch))
-
-    # warmup / compile
-    out, _ = rollout(states, key)
-    jax.block_until_ready(out)
+    out, _ = rollout(states, key)  # warmup / compile
+    jax.tree.map(jax.block_until_ready, out)
 
     t0 = time.perf_counter()
-    reps = 3
     for i in range(reps):
         out, s = rollout(out, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+    jax.tree.map(jax.block_until_ready, out)
     dt = time.perf_counter() - t0
+    return batch * horizon * reps / dt
 
-    steps_per_s = batch * horizon * reps / dt
+
+def main():
+    results = {}
+
+    env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
+    results["cursor"] = throughput(env, batch=2048, horizon=20)
+
+    env = ArmEnv(
+        EnvConfig(agent_type="Sawyer", control_type="impedance")
+    )
+    results["sawyer_impedance"] = throughput(env, batch=512)
+
+    env = ArmEnv(EnvConfig(agent_type="Sawyer", control_type="ik"))
+    results["sawyer_ik"] = throughput(env, batch=256)
+
+    for name in ("sawyer_impedance", "sawyer_ik"):
+        print(
+            json.dumps(
+                {
+                    "metric": f"{name}_env_steps_per_s_per_chip",
+                    "value": round(results[name], 1),
+                    "unit": "env_steps/s",
+                    "vs_baseline": round(results[name] / BASELINES[name], 2),
+                }
+            ),
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {
                 "metric": "cursor_env_steps_per_s_per_chip",
-                "value": round(steps_per_s, 1),
+                "value": round(results["cursor"], 1),
                 "unit": "env_steps/s",
-                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 2),
+                "vs_baseline": round(results["cursor"] / BASELINES["cursor"], 2),
             }
         )
     )
