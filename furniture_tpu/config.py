@@ -41,6 +41,12 @@ class SimConfig:
     # kinematic-gripper squeeze overlap: fingers servo at most this far past
     # first part contact (emulates MuJoCo's force-limited finger servos)
     gripper_squeeze: float = 0.004
+    # contact solver backend: "on" = Pallas TPU kernel, "off" = pure XLA.
+    # Measured on TPU v5e at the current lane counts (~200-2k lanes/env) the
+    # XLA-fused solver wins (one program per env underfeeds the VPU); the
+    # kernel is kept as a validated alternative for the large-lane regime.
+    # See physics/pallas_solver.py.
+    use_pallas: str = "off"
 
 
 @dataclass(frozen=True)

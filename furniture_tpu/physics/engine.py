@@ -253,6 +253,15 @@ def make_substep(model_np, cfg_sim):
     dt = cfg_sim.timestep
     gvec = jnp.array([0.0, 0.0, cfg_sim.gravity], jnp.float32)
 
+    use_pallas = cfg_sim.use_pallas == "on" or (
+        cfg_sim.use_pallas == "auto" and jax.default_backend() == "tpu"
+    )  # default "off": measured slower than the XLA-fused path at the
+       # current per-env lane counts (see pallas_solver.py docstring)
+    if use_pallas:
+        from .pallas_solver import solve_contacts_pallas as solver
+    else:
+        solver = _solve_contacts
+
     def substep(state: PartState, group, gravity_scale, extra_contacts=None):
         member, g_com, g_inv_mass, g_inv_inertia = _group_aggregates(
             model_np, state, group
@@ -268,7 +277,7 @@ def make_substep(model_np, cfg_sim):
         if extra_contacts is not None:
             contacts = concat_contacts(contacts, extra_contacts)
 
-        lv, av = _solve_contacts(
+        lv, av = solver(
             contacts,
             group,
             g_com,

@@ -1,0 +1,274 @@
+"""Pallas TPU kernel for the masked Jacobi contact solver.
+
+The hypothesis behind this kernel: the jitted JAX solver
+(``engine._solve_contacts``) carries ~40 f32 lane constants per contact
+through a 24-iteration ``fori_loop``; keeping one environment's lane block
+resident in VMEM across all iterations should cut HBM traffic ~24x.
+
+Measured outcome (TPU v5e, cursor env, K≈200 lanes/env, batch 1024-2048):
+the one-program-per-environment mapping underfeeds the VPU (ops are
+[3, 256]-shaped) and the XLA-fused solver is ~8x faster — XLA's fusion
+already keeps the loop state resident at these sizes. The kernel is kept as
+a *validated alternative backend* (bit-consistent with the XLA path to f32
+accumulation order, tested in ``tests/test_pallas_solver.py``) for the
+large-lane regime (complex furniture × robot contacts) and as the starting
+point for a future whole-substep megakernel, where the bandwidth argument
+applies to the narrow phase as well. Select with ``SimConfig.use_pallas``.
+
+Layout (per environment, channels-first so the lane axis is the 128-lane
+vector axis):
+
+  lanes [B, C, Kp]  f32, Kp = K padded to a multiple of 128
+     0:3   normal            15:18  inv_w (per direction)
+     3:6   tangent t1        18     bias (depenetration velocity)
+     6:9   tangent t2        19     friction μ
+     9:12  r_a               20     lane_scale (relaxation / contention)
+    12:15  r_b               21     fmask
+                             22:25  vel_b (kinematic-side velocity)
+    25+0P..: oa   [P]  one-hot of part_a's slot
+    25+1P..: ob   [P]  one-hot of part_b's slot (0 rows for kinematic lanes)
+    25+2P..: mem_a[P]  group-membership scatter of side a
+    25+3P..: mem_b[P]  group-membership scatter of side b
+
+  aux [B, 8, 128] f32 (per-part rows, cols):
+     0:3  lin_vel   3:6  ang_vel   6  g_inv_mass   7:16  g_inv_inertia (row-major)
+
+The grid is one program per environment; P ≤ 8 is unrolled. Outputs the
+updated aux (velocities in rows 0..P-1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(lanes_ref, aux_ref, out_ref, *, P: int, iters: int):
+    lanes = lanes_ref[0]                     # [C, Kp]
+    dirs = [lanes[0:3], lanes[3:6], lanes[6:9]]      # 3 × [3,K]
+    r_a = lanes[9:12]
+    r_b = lanes[12:15]
+    inv_w = lanes[15:18]                     # [3,K]
+    bias = lanes[18]
+    fric = lanes[19]
+    scale = lanes[20]
+    fmask = lanes[21]
+    vel_b = lanes[22:25]
+    oa = lanes[25 : 25 + P]                  # [P,K]
+    ob = lanes[25 + P : 25 + 2 * P]
+    mem_a = lanes[25 + 2 * P : 25 + 3 * P]
+    mem_b = lanes[25 + 3 * P : 25 + 4 * P]
+
+    aux = aux_ref[0]                         # [8,128]
+    lv0 = aux[0:P, 0:3]                      # [P,3]
+    av0 = aux[0:P, 3:6]
+    inv_m = aux[0:P, 6]                      # [P]
+    inv_I = aux[0:P, 7:16]                   # [P,9] row-major 3x3
+
+    K = lanes.shape[-1]
+
+    def cross_vec_field(v, f):
+        # v [3] (scalars) × f [3,K]
+        return jnp.stack(
+            [
+                v[1] * f[2] - v[2] * f[1],
+                v[2] * f[0] - v[0] * f[2],
+                v[0] * f[1] - v[1] * f[0],
+            ]
+        )
+
+    def body(_, carry):
+        lam, lv, av = carry                  # [3,K], [P,3], [P,3]
+        # relative velocity at each lane
+        va = jnp.zeros((3, K))
+        vb = vel_b
+        for p in range(P):
+            va = va + oa[p][None, :] * (
+                lv[p][:, None] + cross_vec_field(av[p], r_a)
+            )
+            vb = vb + ob[p][None, :] * (
+                lv[p][:, None] + cross_vec_field(av[p], r_b)
+            )
+        v_rel = va - vb                      # [3,K]
+        # project on the three contact directions
+        vd = jnp.stack(
+            [jnp.sum(v_rel * dirs[d], axis=0) for d in range(3)]
+        )                                    # [3,K]
+        target = jnp.stack([vd[0] + bias, vd[1], vd[2]])
+        dlam = -target * inv_w * scale[None, :]
+        lam_try = lam + dlam
+        ln = jnp.maximum(lam_try[0], 0.0)
+        max_f = fric * ln
+        lt1 = jnp.clip(lam_try[1], -max_f, max_f)
+        lt2 = jnp.clip(lam_try[2], -max_f, max_f)
+        lam_new = jnp.stack([ln, lt1, lt2])
+        dlam_eff = (lam_new - lam) * fmask[None, :]
+
+        # apply the incremental impulses to the group velocities
+        imp = (
+            dlam_eff[0][None, :] * dirs[0]
+            + dlam_eff[1][None, :] * dirs[1]
+            + dlam_eff[2][None, :] * dirs[2]
+        )                                    # [3,K]
+        tq_a = cross_mat(r_a, imp)           # [3,K]
+        tq_b = cross_mat(r_b, -imp)
+        dlv = []
+        dav = []
+        for p in range(P):
+            w_lin = mem_a[p] - mem_b[p]
+            dlin = jnp.stack(
+                [jnp.sum(w_lin * imp[j]) for j in range(3)]
+            ) * inv_m[p]
+            acc = jnp.stack(
+                [
+                    jnp.sum(mem_a[p] * tq_a[j] + mem_b[p] * tq_b[j])
+                    for j in range(3)
+                ]
+            )
+            II = inv_I[p]
+            dang = jnp.stack(
+                [
+                    II[0] * acc[0] + II[1] * acc[1] + II[2] * acc[2],
+                    II[3] * acc[0] + II[4] * acc[1] + II[5] * acc[2],
+                    II[6] * acc[0] + II[7] * acc[1] + II[8] * acc[2],
+                ]
+            )
+            dlv.append(dlin)
+            dav.append(dang)
+        lv = lv + jnp.stack(dlv)
+        av = av + jnp.stack(dav)
+        return lam_new, lv, av
+
+    def cross_mat(a, b):
+        # a, b: [3,K] fields
+        return jnp.stack(
+            [
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            ]
+        )
+
+    lam0 = jnp.zeros((3, K))
+    lam, lv, av = jax.lax.fori_loop(0, iters, body, (lam0, lv0, av0))
+
+    # rebuild the aux block without scatter ops (unsupported lowering)
+    row_block = jnp.concatenate([lv, av, aux[0:P, 6:]], axis=1)  # [P,128]
+    out_ref[0] = jnp.concatenate([row_block, aux[P:8]], axis=0)
+
+
+def solve_contacts_pallas(
+    contacts,
+    group,
+    g_com,
+    g_inv_mass,
+    g_inv_inertia,
+    lin_vel,
+    ang_vel,
+    dt,
+    iters: int,
+    relaxation: float,
+    baumgarte: float,
+    slop: float,
+    interpret: bool = False,
+):
+    """Drop-in replacement for ``engine._solve_contacts`` running the Jacobi
+    sweep as a Pallas kernel. Same per-env signature; vmap over envs maps to
+    the kernel's batch/grid dimension."""
+    from .engine import _tangent_basis  # shared tangent construction
+
+    c = contacts
+    K = c.depth.shape[0]
+    P = group.shape[0]
+    Kp = int(np.ceil(max(K, 1) / 128) * 128)
+    C = 25 + 4 * P
+
+    valid = c.mask & (c.depth > -slop)
+    fmask = valid.astype(jnp.float32)
+    has_b = c.part_b >= 0
+    pb_safe = jnp.where(has_b, c.part_b, 0)
+
+    oa = jax.nn.one_hot(c.part_a, P, dtype=jnp.float32)
+    ob = jax.nn.one_hot(pb_safe, P, dtype=jnp.float32) * has_b[:, None]
+
+    r_a = c.point - oa @ g_com
+    r_b = c.point - (jax.nn.one_hot(pb_safe, P, dtype=jnp.float32) @ g_com)
+    inv_m_a = oa @ g_inv_mass
+    inv_m_b = ob @ g_inv_mass
+    inv_I_a = jnp.einsum("kp,pij->kij", oa, g_inv_inertia)
+    inv_I_b = jnp.einsum("kp,pij->kij", ob, g_inv_inertia)
+
+    t1, t2 = _tangent_basis(c.normal)
+    dirs = jnp.stack([c.normal, t1, t2], axis=1)          # [K,3,3]
+    rxd_a = jnp.cross(r_a[:, None, :], dirs)
+    rxd_b = jnp.cross(r_b[:, None, :], dirs)
+
+    def quad(rxd, inv_I):
+        t = jnp.sum(inv_I[:, None, :, :] * rxd[:, :, None, :], axis=-1)
+        return jnp.sum(rxd * t, axis=-1)
+
+    w = (
+        inv_m_a[:, None]
+        + inv_m_b[:, None]
+        + quad(rxd_a, inv_I_a)
+        + quad(rxd_b, inv_I_b)
+    )
+    inv_w = 1.0 / jnp.maximum(w, 1e-8)
+    bias = -jnp.minimum((baumgarte / dt) * jnp.maximum(c.depth - slop, 0.0), 0.5)
+
+    mem_a = (group[c.part_a][:, None] == group[None, :]).astype(jnp.float32)
+    mem_b = ((group[pb_safe][:, None] == group[None, :]) & has_b[:, None]).astype(
+        jnp.float32
+    )
+    cnt_p = fmask @ (mem_a + mem_b)
+    n_a = oa @ cnt_p
+    n_b = ob @ cnt_p
+    lane_scale = relaxation / jnp.maximum(jnp.maximum(n_a, n_b), 1.0)
+
+    # assemble the channel tensor [C, Kp]
+    rows = [
+        dirs[:, 0, :].T,      # normal   [3,K]
+        dirs[:, 1, :].T,      # t1
+        dirs[:, 2, :].T,      # t2
+        r_a.T,
+        r_b.T,
+        inv_w.T,
+        bias[None, :],
+        c.friction[None, :],
+        lane_scale[None, :],
+        fmask[None, :],
+        c.vel_b.T,
+        oa.T,
+        ob.T,
+        mem_a.T,
+        mem_b.T,
+    ]
+    lanes = jnp.concatenate(rows, axis=0)                  # [C,K]
+    lanes = jnp.pad(lanes, ((0, 0), (0, Kp - K)))
+
+    aux = jnp.zeros((8, 128))
+    aux = aux.at[:P, 0:3].set(lin_vel)
+    aux = aux.at[:P, 3:6].set(ang_vel)
+    aux = aux.at[:P, 6].set(g_inv_mass)
+    aux = aux.at[:P, 7:16].set(g_inv_inertia.reshape(P, 9))
+
+    kernel = functools.partial(_kernel, P=P, iters=iters)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, 8, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(lanes[None], aux[None])
+
+    lv = out[0, :P, 0:3]
+    av = out[0, :P, 3:6]
+    return lv, av
