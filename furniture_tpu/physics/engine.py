@@ -217,8 +217,9 @@ def _solve_contacts(
 def _integrate(state: PartState, member, g_com, dt):
     """Rigid group motion: rotate members about the group COM, translate."""
     w = state.ang_vel                                                # [P,3]
-    angle = jnp.linalg.norm(w, axis=-1)
-    axis = w / jnp.maximum(angle[..., None], 1e-12)
+    # smoothed norm: differentiable at w = 0 (iLQR linearizes through this)
+    angle = jnp.sqrt(jnp.sum(w * w, axis=-1) + 1e-18)
+    axis = w / angle[..., None]
     dq = T.quat_from_axis_angle(axis, angle * dt)                    # [P,4]
     rel = state.pos - g_com
     new_pos = g_com + T.quat_rotate(dq, rel) + state.lin_vel * dt

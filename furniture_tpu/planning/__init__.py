@@ -8,3 +8,4 @@ sample axis is sharded and elite statistics reduce over ICI.
 
 from .mppi import MPPIConfig, make_mppi, make_sharded_mppi, assembly_cost  # noqa: F401
 from .cem import CEMConfig, make_cem  # noqa: F401
+from .ilqr import ILQRConfig, make_ilqr, flatten_env_dynamics  # noqa: F401

@@ -32,9 +32,14 @@ _EPS = 1e-12
 # ---------------------------------------------------------------------------
 
 def unit(v: jax.Array, axis: int = -1) -> jax.Array:
-    """Normalize ``v`` along ``axis`` (guarding the zero vector)."""
-    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
-    return v / jnp.maximum(n, _EPS)
+    """Normalize ``v`` along ``axis``.
+
+    Uses a smoothed norm (``sqrt(Σv² + ε²)``) rather than ``max(‖v‖, ε)``:
+    the clamped form still backpropagates ``v/‖v‖`` through the norm and
+    yields NaN gradients at v = 0, which breaks iLQR linearization of the
+    contact physics."""
+    n = jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=True) + _EPS * _EPS)
+    return v / n
 
 
 def l2_dist(a: jax.Array, b: jax.Array, axis: int = -1) -> jax.Array:
