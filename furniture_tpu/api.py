@@ -230,5 +230,12 @@ def _register_arm_envs():
     register_env("IKEASawyerGen-v0", _gen_factory)
     register_env("FurnitureSawyerGenEnv", _gen_factory)
 
+    def _toytable_factory(config: EnvConfig):
+        from .envs.baxter_toytable import FurnitureBaxterToyTableEnv
+
+        return FurnitureBaxterToyTableEnv(config)
+
+    register_env("FurnitureBaxterToyTableEnv", _toytable_factory)
+
 
 _register_arm_envs()

@@ -12,3 +12,4 @@ from .arm import (  # noqa: F401
 )
 from .sawyer_dense import DenseState, FurnitureSawyerDenseRewardEnv  # noqa: F401
 from .sawyer_gen import FurnitureSawyerGenEnv, GenPolicyState  # noqa: F401
+from .baxter_toytable import FurnitureBaxterToyTableEnv  # noqa: F401
