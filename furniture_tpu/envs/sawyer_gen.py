@@ -531,11 +531,19 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
     # -- batched generation ------------------------------------------------------
 
-    def generate_demos(self, n_demos: int, seed: int = 0, batch: int | None = None):
+    def generate_demos(
+        self,
+        n_demos: int,
+        seed: int = 0,
+        batch: int | None = None,
+        store_path: str | None = None,
+    ):
         """Batched scripted demo generation: roll ``batch`` parallel scripted
         episodes to ``max_success_steps``, return the successful
         (obs, action, reward) trajectories (host-side; reference
-        ``generate_demos`` :347-731 + DemoRecorder)."""
+        ``generate_demos`` :347-731 + DemoRecorder). When ``store_path`` is
+        given, successful trajectories are persisted through the native
+        multithreaded trajectory store (``native/traj_store.cpp``)."""
         batch = batch or max(n_demos, 8)
         key = jax.random.PRNGKey(seed)
         k_reset, k_gen = jax.random.split(key)
@@ -570,4 +578,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                     "rewards": np.asarray(rewards[:t_end, b]),
                 }
             )
+        if store_path is not None and demos:
+            from ..utils.traj_store import TrajStore
+
+            with TrajStore(store_path, "w") as ts:
+                for d in demos:
+                    ts.append(d["actions"], d["rewards"])
+                ts.flush()
         return demos, float(succ.mean())
