@@ -68,6 +68,43 @@ class FurnitureEnvWrapper:
         self._step_fn = jax.jit(self.env.step)
         self._key = jax.random.PRNGKey(seed)
         self._state = None
+        self._render_fn = None
+
+    def _renderer(self):
+        """Lazily-built jitted state->(rgb,depth,seg) camera
+        (reference render path ``env/furniture.py:586-668``)."""
+        if self._render_fn is None:
+            from .render import frontview, make_render_fn
+
+            cam = frontview(self.config.screen_width, self.config.screen_height)
+            self._render_fn = jax.jit(make_render_fn(self.env, cam))
+        return self._render_fn
+
+    def _camera_obs(self, obs: dict) -> dict:
+        cfg = self.config
+        if not (cfg.camera_ob or cfg.depth_ob or cfg.segmentation_ob):
+            return obs
+        rgb, depth, seg = self._renderer()(self._state)
+        if cfg.camera_ob:
+            obs["camera_ob"] = np.asarray(rgb)
+        if cfg.depth_ob:
+            obs["depth_ob"] = np.asarray(depth)
+        if cfg.segmentation_ob:
+            obs["segmentation_ob"] = np.asarray(seg)
+        return obs
+
+    def render(self, mode: str = "rgb_array"):
+        """On-device raycast render of the current state
+        (``env/furniture.py:586-631`` render modes)."""
+        assert self._state is not None, "call reset() first"
+        rgb, depth, seg = self._renderer()(self._state)
+        if mode in ("rgb_array", "rgbarray", "human"):
+            return np.asarray(rgb)
+        if mode == "depth_array":
+            return np.asarray(depth)
+        if mode in ("segmentation", "seg_array"):
+            return np.asarray(seg)
+        raise ValueError(f"unknown render mode {mode!r}")
 
     # -- spaces ------------------------------------------------------------
 
@@ -84,6 +121,13 @@ class FurnitureEnvWrapper:
             spaces["robot_ob"] = Space(shape=(8,))
         if self.config.subtask_ob:
             spaces["subtask_ob"] = Space(shape=(2,))
+        h, w = self.config.screen_height, self.config.screen_width
+        if self.config.camera_ob:
+            spaces["camera_ob"] = Space(shape=(h, w, 3), low=0.0, high=1.0)
+        if self.config.depth_ob:
+            spaces["depth_ob"] = Space(shape=(h, w), low=0.0)
+        if self.config.segmentation_ob:
+            spaces["segmentation_ob"] = Space(shape=(h, w))
         return Space(spaces=spaces)
 
     # -- episode API -------------------------------------------------------
@@ -93,7 +137,8 @@ class FurnitureEnvWrapper:
             self._key = jax.random.PRNGKey(seed)
         self._key, sub = jax.random.split(self._key)
         self._state = self._reset_fn(sub)
-        return {k: np.asarray(v) for k, v in self.env.observe(self._state).items()}
+        obs = {k: np.asarray(v) for k, v in self.env.observe(self._state).items()}
+        return self._camera_obs(obs)
 
     def step(self, action):
         assert self._state is not None, "call reset() first"
@@ -102,7 +147,7 @@ class FurnitureEnvWrapper:
         )
         obs = {k: np.asarray(v) for k, v in obs.items()}
         info = {k: np.asarray(v) for k, v in info.items()}
-        return obs, float(rew), bool(done), info
+        return self._camera_obs(obs), float(rew), bool(done), info
 
     # env-state checkpointing (reference get/set_env_state,
     # env/furniture.py:1781-1803); the state pytree is the checkpoint

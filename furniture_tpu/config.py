@@ -131,6 +131,13 @@ class EnvConfig:
     object_ob: bool = True
     object_ob_all: bool = True
     subtask_ob: bool = False
+    # camera observations (config/furniture.py:248-276): rendered on-device
+    # by furniture_tpu.render instead of Unity/mujoco-py offscreen GL
+    camera_ob: bool = False
+    depth_ob: bool = False
+    segmentation_ob: bool = False
+    screen_width: int = 500
+    screen_height: int = 500
     # sub-configs
     sim: SimConfig = field(default_factory=SimConfig)
     align: AlignConfig = field(default_factory=AlignConfig)

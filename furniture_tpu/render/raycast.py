@@ -1,0 +1,302 @@
+"""Batched ray-casting renderer: rgb / depth / segmentation camera
+observations, TPU-native.
+
+The reference obtains camera observations either from the external Unity
+renderer over TCP (``env/unity_interface.py:104-145``) or from mujoco-py's
+OpenGL offscreen context (``env/furniture.py:604-631``); segmentation and
+depth come from the same paths (``env/furniture.py:619-668``,
+``env/mjremote.py:86-101``). Both are host-side native renderers that force
+a device→host round-trip per frame and cap throughput (BASELINE.md: 28-65
+steps/s with rendering vs 225 without).
+
+Here rendering is a pure jitted function over the same compiled geom tables
+the physics uses: every pixel casts one ray against the analytic collision
+primitives (box / sphere / cylinder / floor plane), `lax.scan`-reduced over
+geoms so memory stays O(pixels). It vmaps over environments and shards with
+the rest of the step, so visual observations never leave the device.
+
+Conventions match the reference:
+* camera frame is MuJoCo's (looks along -Z, +X right, +Y up); the default
+  camera is ``frontview`` from the floor arena
+  (``models/assets/arenas/floor_arena.xml:16``: pos (0,-1.2,0.9),
+  quat (0.86,0.51,0,0) wxyz, fovy 60).
+* ``fovy`` is the vertical field of view in degrees (MuJoCo convention).
+* segmentation ids: part index 0..P-1, ``SEG_FLOOR`` for the ground plane,
+  ``SEG_BACKGROUND`` for no hit; extra geoms (cursor boxes, robot links)
+  carry caller-chosen ids.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import transforms as T
+from ..models.compiler import BOX, CYLINDER, SPHERE
+
+SEG_BACKGROUND = -1
+SEG_FLOOR = -2
+
+_FAR = 1e9
+
+
+class Camera(NamedTuple):
+    """A fixed pinhole camera in MuJoCo convention (static per jit trace)."""
+
+    pos: jax.Array    # [3] world position
+    quat: jax.Array   # [4] wxyz world orientation (camera looks along -Z)
+    fovy: float       # vertical field of view, degrees
+    width: int
+    height: int
+
+
+def frontview(width: int = 500, height: int = 500) -> Camera:
+    """The reference's default ``frontview`` camera
+    (``floor_arena.xml:16``; 500x500 default size
+    ``config/furniture.py:273-276``)."""
+    return Camera(
+        pos=jnp.array([0.0, -1.2, 0.9]),
+        quat=T.quat_normalize(jnp.array([0.86, 0.51, 0.0, 0.0])),
+        fovy=60.0,
+        width=width,
+        height=height,
+    )
+
+
+class GeomScene(NamedTuple):
+    """World-space primitive soup for one frame (arrays, vmap-friendly)."""
+
+    pos: jax.Array     # [G,3]
+    quat: jax.Array    # [G,4] wxyz
+    type: jax.Array    # [G] BOX | SPHERE | CYLINDER
+    size: jax.Array    # [G,3]
+    seg: jax.Array     # [G] segmentation id
+    rgba: jax.Array    # [G,3] albedo
+
+
+def part_scene(tables, parts, albedo: jax.Array | None = None) -> GeomScene:
+    """World poses of every furniture collision geom from a ``PartState``
+    (geom-local frames composed with part poses, as the physics does).
+    ``tables`` is the physics table dict (``physics.collide.physics_tables``)."""
+    gpart = jnp.asarray(tables["geom_part"], jnp.int32)
+    gpos_l = jnp.asarray(tables["geom_pos"], jnp.float32)
+    gquat_l = jnp.asarray(tables["geom_quat"], jnp.float32)
+    ppos = parts.pos[gpart]
+    pquat = parts.quat[gpart]
+    pos = ppos + jax.vmap(T.quat_rotate)(pquat, gpos_l)
+    quat = jax.vmap(T.quat_mul)(pquat, gquat_l)
+    if albedo is None:
+        albedo = part_palette(int(parts.pos.shape[0]))[gpart]
+    return GeomScene(
+        pos=pos,
+        quat=quat,
+        type=jnp.asarray(tables["geom_type"], jnp.int32),
+        size=jnp.asarray(tables["geom_size"], jnp.float32),
+        seg=gpart,
+        rgba=albedo,
+    )
+
+
+def part_palette(n: int) -> jax.Array:
+    """Deterministic distinct albedos (golden-ratio hue walk)."""
+    h = (np.arange(n) * 0.61803398875) % 1.0
+    c, x = 0.75, 0.75 * (1 - np.abs((h * 6) % 2 - 1))
+    k = (h * 6).astype(int) % 6
+    rgb = np.choose(
+        k[:, None],
+        np.array(
+            [
+                np.stack([c * np.ones(n), x, np.zeros(n)], -1),
+                np.stack([x, c * np.ones(n), np.zeros(n)], -1),
+                np.stack([np.zeros(n), c * np.ones(n), x], -1),
+                np.stack([np.zeros(n), x, c * np.ones(n)], -1),
+                np.stack([x, np.zeros(n), c * np.ones(n)], -1),
+                np.stack([c * np.ones(n), np.zeros(n), x], -1),
+            ]
+        ),
+    )
+    return jnp.asarray(rgb + 0.2)
+
+
+def box_scene(pos, size, seg_ids, rgba=None, quat=None) -> GeomScene:
+    """Axis-aligned (or posed) boxes as a scene — cursors, eef markers."""
+    n = pos.shape[0]
+    if quat is None:
+        quat = jnp.tile(T.quat_identity(), (n, 1))
+    if rgba is None:
+        rgba = jnp.tile(jnp.array([0.9, 0.9, 0.2]), (n, 1))
+    return GeomScene(
+        pos=pos,
+        quat=quat,
+        type=jnp.full((n,), BOX, jnp.int32),
+        size=jnp.broadcast_to(size, (n, 3)),
+        seg=jnp.asarray(seg_ids, jnp.int32),
+        rgba=rgba,
+    )
+
+
+def merge_scenes(*scenes: GeomScene) -> GeomScene:
+    return GeomScene(*(jnp.concatenate(f, axis=0) for f in zip(*scenes)))
+
+
+def _camera_rays(camera: Camera):
+    """Per-pixel world-space ray directions, row-major top-left first
+    (matches image layout of ``sim.render``)."""
+    h, w = camera.height, camera.width
+    tan_half = float(np.tan(np.radians(camera.fovy) / 2.0))
+    aspect = w / h
+    # pixel centers in NDC; +y up in camera frame -> flip rows
+    ys = (0.5 - (jnp.arange(h) + 0.5) / h) * 2.0 * tan_half
+    xs = ((jnp.arange(w) + 0.5) / w - 0.5) * 2.0 * tan_half * aspect
+    dirs = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (h, w)),
+            jnp.broadcast_to(ys[:, None], (h, w)),
+            jnp.full((h, w), -1.0),
+        ],
+        axis=-1,
+    ).reshape(-1, 3)
+    rot = T.quat_to_mat(camera.quat)
+    return T.unit(dirs @ rot.T)
+
+
+def _ray_box(o, d, half):
+    """Slab test in geom frame → (t, normal_geomframe). o [N,3], d [N,3]."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.where(d < 0, -1e-12, 1e-12), d)
+    t1 = (-half - o) * inv
+    t2 = (half - o) * inv
+    tmin = jnp.minimum(t1, t2)
+    tmax = jnp.maximum(t1, t2)
+    tn = tmin.max(-1)
+    tf = tmax.min(-1)
+    hit = (tn <= tf) & (tf > 0.0) & (tn > 0.0)
+    axis = tmin.argmax(-1)
+    normal = -jnp.sign(jnp.take_along_axis(d, axis[:, None], -1))[:, 0, None] * jax.nn.one_hot(axis, 3)
+    return jnp.where(hit, tn, _FAR), normal
+
+
+def _ray_sphere(o, d, r):
+    b = jnp.sum(o * d, -1)
+    c = jnp.sum(o * o, -1) - r * r
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t = -b - sq
+    hit = (disc > 0.0) & (t > 0.0)
+    p = o + t[:, None] * d
+    return jnp.where(hit, t, _FAR), T.unit(p)
+
+
+def _ray_cylinder(o, d, r, hh):
+    """Z-aligned capped cylinder in geom frame (MuJoCo size = (r, halflen))."""
+    a = d[:, 0] ** 2 + d[:, 1] ** 2
+    b = o[:, 0] * d[:, 0] + o[:, 1] * d[:, 1]
+    c = o[:, 0] ** 2 + o[:, 1] ** 2 - r * r
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    a_safe = jnp.where(a < 1e-12, 1e-12, a)
+    t_side = (-b - sq) / a_safe
+    z = o[:, 2] + t_side * d[:, 2]
+    side_ok = (disc > 0.0) & (t_side > 0.0) & (jnp.abs(z) <= hh) & (a > 1e-12)
+    t_side = jnp.where(side_ok, t_side, _FAR)
+    # caps
+    dz = jnp.where(jnp.abs(d[:, 2]) < 1e-12, 1e-12, d[:, 2])
+    cap_sign = jnp.where(d[:, 2] < 0, 1.0, -1.0)  # facing cap
+    t_cap = (cap_sign * hh - o[:, 2]) / dz
+    xc = o[:, 0] + t_cap * d[:, 0]
+    yc = o[:, 1] + t_cap * d[:, 1]
+    cap_ok = (t_cap > 0.0) & (xc * xc + yc * yc <= r * r)
+    t_cap = jnp.where(cap_ok, t_cap, _FAR)
+    use_cap = t_cap < t_side
+    t = jnp.minimum(t_side, t_cap)
+    p = o + t[:, None] * d
+    n_side = T.unit(jnp.stack([p[:, 0], p[:, 1], jnp.zeros_like(t)], -1))
+    n_cap = jnp.stack([jnp.zeros_like(t), jnp.zeros_like(t), cap_sign], -1)
+    return t, jnp.where(use_cap[:, None], n_cap, n_side)
+
+
+def render(
+    scene: GeomScene,
+    camera: Camera,
+    light_dir=(-0.35, 0.25, -0.9),
+    floor_z: float = 0.0,
+    floor_rgb=(0.58, 0.56, 0.54),
+    sky_rgb=(0.76, 0.84, 0.92),
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Cast one ray per pixel against the scene.
+
+    Returns ``(rgb [H,W,3] float32 in [0,1], depth [H,W] float32 meters
+    along the ray, seg [H,W] int32)``. Jit/vmap-friendly; scan over geoms
+    keeps memory at O(H*W).
+    """
+    o_w = camera.pos
+    d_w = _camera_rays(camera)  # [N,3]
+    n_pix = d_w.shape[0]
+
+    ldir = T.unit(jnp.asarray(light_dir, jnp.float32))
+
+    def one_geom(carry, geom):
+        t_best, seg_best, n_best, alb_best = carry
+        gpos, gquat, gtype, gsize, gseg, grgba = geom
+        rot = T.quat_to_mat(gquat)
+        o = (o_w - gpos) @ rot  # into geom frame (rot columns = world axes)
+        d = d_w @ rot
+        o = jnp.broadcast_to(o, d.shape)
+        tb, nb = _ray_box(o, d, gsize)
+        ts, ns = _ray_sphere(o, d, gsize[0])
+        tc, nc = _ray_cylinder(o, d, gsize[0], gsize[1])
+        t = jnp.where(gtype == BOX, tb, jnp.where(gtype == SPHERE, ts, tc))
+        n = jnp.where(
+            (gtype == BOX)[..., None],
+            nb,
+            jnp.where((gtype == SPHERE)[..., None], ns, nc),
+        )
+        n_world = n @ rot.T
+        closer = t < t_best
+        return (
+            jnp.where(closer, t, t_best),
+            jnp.where(closer, gseg, seg_best),
+            jnp.where(closer[:, None], n_world, n_best),
+            jnp.where(closer[:, None], grgba, alb_best),
+        ), None
+
+    init = (
+        jnp.full((n_pix,), _FAR),
+        jnp.full((n_pix,), SEG_BACKGROUND, jnp.int32),
+        jnp.zeros((n_pix, 3)),
+        jnp.zeros((n_pix, 3)),
+    )
+    (t, seg, normal, albedo), _ = jax.lax.scan(one_geom, init, scene)
+
+    # floor plane z = floor_z
+    dz = jnp.where(jnp.abs(d_w[:, 2]) < 1e-12, -1e-12, d_w[:, 2])
+    t_floor = (floor_z - o_w[2]) / dz
+    floor_hit = (t_floor > 0.0) & (t_floor < t)
+    # checker pattern for depth cues (Unity backgrounds analogue)
+    fp = o_w[None, :2] + t_floor[:, None] * d_w[:, :2]
+    checker = ((jnp.floor(fp[:, 0] * 4) + jnp.floor(fp[:, 1] * 4)) % 2) * 0.06
+    floor_albedo = jnp.asarray(floor_rgb) + checker[:, None]
+    t = jnp.where(floor_hit, t_floor, t)
+    seg = jnp.where(floor_hit, SEG_FLOOR, seg)
+    normal = jnp.where(floor_hit[:, None], jnp.array([0.0, 0.0, 1.0]), normal)
+    albedo = jnp.where(floor_hit[:, None], floor_albedo, albedo)
+
+    hit = seg != SEG_BACKGROUND
+    lambert = jnp.clip(jnp.sum(normal * (-ldir), -1), 0.0, 1.0)
+    headlight = jnp.clip(jnp.sum(normal * (-d_w), -1), 0.0, 1.0)
+    shade = 0.30 + 0.45 * lambert + 0.25 * headlight
+    rgb = jnp.where(hit[:, None], albedo * shade[:, None], jnp.asarray(sky_rgb))
+
+    h, w = camera.height, camera.width
+    depth = jnp.where(hit, t, jnp.inf).reshape(h, w)
+    return (
+        jnp.clip(rgb, 0.0, 1.0).reshape(h, w, 3),
+        depth,
+        seg.reshape(h, w),
+    )
+
+
+def to_uint8(rgb: jax.Array) -> jax.Array:
+    return (jnp.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -16,3 +16,10 @@ import jax  # noqa: E402
 # the environment's sitecustomize pins JAX_PLATFORMS=axon; override in-process
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# persistent compilation cache: the suite is compile-bound on small CPU
+# hosts, and every test re-jits the same step functions — cache across runs.
+_cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "furniture_tpu_jax")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
