@@ -124,6 +124,11 @@ class EnvConfig:
     furn_xyz_rand: float = 0.02
     furn_rot_rand: float = 3.0       # degrees
     agent_xyz_rand: float = 0.0
+    # furniture resize (config/furniture.py:197-200; env/furniture.py:1428-1431):
+    # scale = furn_size_scale * (1 + U(-furn_size_rand, furn_size_rand)),
+    # applied at model-compile time (the reference likewise rebuilds the model)
+    furn_size_rand: float = 0.0
+    furn_size_scale: float = 1.0
     # cursor connect needs N consecutive connect steps (furniture_cursor.py:32)
     num_connect_steps: int = 10
     # observation toggles (config/furniture.py:229-285)

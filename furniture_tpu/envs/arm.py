@@ -52,7 +52,7 @@ from ..controllers.osc import (
     orientation_error,
     osc_torques,
 )
-from ..models import CompiledModel, compile_model
+from ..models import CompiledModel, compile_from_config, compile_model
 from ..physics import PartState, init_state
 from ..physics.collide import robot_contacts
 from ..physics.engine import make_substep, physics_tables, robot_contact_tables
@@ -123,7 +123,7 @@ class ArmEnv:
         self.control_type = cfg.control_type
         use_torque = self.control_type in ("torque",) + NEW_CONTROLLERS
         self.robot = compile_robot(cfg.agent_type, use_torque=use_torque)
-        self.model = model or compile_model(cfg.furniture_name)
+        self.model = model or compile_from_config(cfg)
         self.tables = physics_tables(self.model)
         self.tables.update(robot_contact_tables(self.tables, self.robot))
         self.substep = make_substep(self.tables, cfg.sim)

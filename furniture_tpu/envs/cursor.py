@@ -34,7 +34,7 @@ import numpy as np
 
 from .. import transforms as T
 from ..config import EnvConfig
-from ..models import CompiledModel, compile_model
+from ..models import CompiledModel, compile_from_config, compile_model
 from ..physics import PartState, init_state
 from .assembly import AssemblyOps
 from ..physics.engine import make_substep, physics_tables, substeps
@@ -68,7 +68,7 @@ class CursorEnv:
 
     def __init__(self, config: EnvConfig | None = None, model: CompiledModel | None = None):
         self.config = config or EnvConfig()
-        self.model = model or compile_model(self.config.furniture_name)
+        self.model = model or compile_from_config(self.config)
         self.tables = physics_tables(self.model)
         self.substep = make_substep(self.tables, self.config.sim)
         m = self.model

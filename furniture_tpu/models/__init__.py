@@ -29,4 +29,10 @@ background_names = [
 
 agent_names = ["Baxter", "Sawyer", "Panda", "Jaco", "Fetch", "Cursor"]
 
-from .compiler import CompiledModel, compile_model, load_spec  # noqa: E402,F401
+from .compiler import (  # noqa: E402,F401
+    CompiledModel,
+    compile_from_config,
+    compile_model,
+    load_spec,
+    scale_spec,
+)

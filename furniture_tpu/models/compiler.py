@@ -158,8 +158,41 @@ class CompiledModel:
         return len(self.weld_part1)
 
 
-def compile_model(furniture_name: str) -> CompiledModel:
+def scale_spec(spec: dict, s: float) -> dict:
+    """Uniformly rescale a furniture spec — geometry, body/site offsets and
+    init poses all scale by ``s``; masses/inertias follow automatically since
+    they are derived from geom sizes at compile time.
+
+    Reference counterpart: ``MujocoXMLObject(path, resize=factor)`` +
+    ``resize_objects`` (``env/furniture.py:1986-1992, 1428-1431``) backed by
+    the XML rescaler (``env/xml_adjusting/rescale.py:30-97``), which rewrites
+    mesh scales, body/site positions and geom sizes.
+    """
+    import copy
+
+    spec = copy.deepcopy(spec)
+    for b in spec.get("bodies", []):
+        b["pos"] = [p * s for p in b["pos"]]
+        for g in b.get("geoms", []):
+            g["pos"] = [p * s for p in g["pos"]]
+            g["size"] = [x * s for x in g["size"]]
+            if g.get("fromto"):
+                g["fromto"] = [x * s for x in g["fromto"]]
+        for site in b.get("sites", []):
+            site["pos"] = [p * s for p in site["pos"]]
+            if site.get("size"):
+                site["size"] = [x * s for x in site["size"]]
+    custom = spec.get("custom", {})
+    for k, v in list(custom.items()):
+        if k.endswith("_initpos") and len(v) == 7:
+            custom[k] = [v[0] * s, v[1] * s, v[2] * s] + list(v[3:])
+    return spec
+
+
+def compile_model(furniture_name: str, size_scale: float = 1.0) -> CompiledModel:
     spec = load_spec("furniture", furniture_name)
+    if size_scale != 1.0:
+        spec = scale_spec(spec, float(size_scale))
     try:
         recipe = load_spec("recipes", furniture_name)
     except FileNotFoundError:
@@ -357,3 +390,16 @@ def compile_model(furniture_name: str) -> CompiledModel:
         num_connects=int(num_connects),
         recipe_raw=recipe,
     )
+
+
+def compile_from_config(config) -> CompiledModel:
+    """Compile honoring the config's resize flags: ``furn_size_scale`` is a
+    deterministic factor; ``furn_size_rand`` adds the reference's random
+    resize ``1 + U(-r, r)`` sampled at build time
+    (``env/furniture.py:1428-1431,1986-1992`` — the reference likewise
+    rebuilds the MJCF model when resizing)."""
+    scale = getattr(config, "furn_size_scale", 1.0)
+    r = getattr(config, "furn_size_rand", 0.0)
+    if r:
+        scale *= 1.0 + float(np.random.uniform(-r, r))
+    return compile_model(config.furniture_name, size_scale=scale)

@@ -64,3 +64,30 @@ def test_all_furniture_compile(name):
     if m.n_welds:
         assert (m.weld_part1 < m.n_parts).all()
         assert (m.weld_part2 < m.n_parts).all()
+
+
+def test_size_scale_resizes_geometry_and_mass():
+    """Resize parity: env/furniture.py:1428-1431 (resize_factor rebuild) /
+    xml_adjusting/rescale.py — geometry scales linearly, mass cubically."""
+    from furniture_tpu.models import compile_model
+
+    base = compile_model("table_lack_0825")
+    big = compile_model("table_lack_0825", size_scale=2.0)
+    assert np.allclose(big.geom_size, base.geom_size * 2.0)
+    assert np.allclose(big.part_init_pos, base.part_init_pos * 2.0)
+    assert np.allclose(big.conn_pos, base.conn_pos * 2.0)
+    assert np.allclose(big.part_mass, base.part_mass * 8.0, rtol=1e-5)
+
+
+def test_compile_from_config_size_flags():
+    from furniture_tpu.config import EnvConfig
+    from furniture_tpu.models import compile_from_config, compile_model
+
+    m = compile_from_config(EnvConfig(furn_size_scale=1.5))
+    ref = compile_model("table_lack_0825", size_scale=1.5)
+    assert np.allclose(m.geom_size, ref.geom_size)
+    # randomized resize stays within 1 +/- r
+    m2 = compile_from_config(EnvConfig(furn_size_rand=0.2))
+    base = compile_model("table_lack_0825")
+    ratio = m2.geom_size[0, 0] / base.geom_size[0, 0]
+    assert 0.8 <= ratio <= 1.2
