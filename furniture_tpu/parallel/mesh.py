@@ -12,6 +12,24 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_map(f, *, mesh, in_specs, out_specs, **kwargs):
+    """Version-portable ``shard_map``: jax>=0.9 exposes ``jax.shard_map``
+    with ``check_vma``; older releases have ``jax.experimental.shard_map``
+    with ``check_rep``. Replication checking is disabled either way (our
+    bodies use explicit collectives)."""
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False, **kwargs,
+        )
+    from jax.experimental.shard_map import shard_map as _sm
+
+    return _sm(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_rep=False, **kwargs,
+    )
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "env") -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices."""
     devs = jax.devices()

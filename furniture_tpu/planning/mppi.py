@@ -17,9 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
-
 from .. import transforms as T
+from ..parallel.mesh import shard_map
 
 
 @dataclass(frozen=True)
@@ -122,7 +121,6 @@ def make_sharded_mppi(env, cfg: MPPIConfig, mesh: Mesh, cost_fn=None, axis="env"
         mesh=mesh,
         in_specs=(P(), P(), P(axis)),   # state + mean replicated, noise sharded
         out_specs=(P(), P()),
-        check_rep=False,
     )
     def _plan_shard(state, mean, noise):
         samples = jnp.clip(mean[None] + noise, -1.0, 1.0)   # [S/n,H,dof]

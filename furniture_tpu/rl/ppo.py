@@ -227,10 +227,7 @@ def make_ppo(
     if mesh is None:
         train_iter = jax.jit(partial(_train_iter, sync=lambda x: x))
     else:
-        try:
-            from jax import shard_map
-        except ImportError:  # older jax
-            from jax.experimental.shard_map import shard_map
+        from ..parallel.mesh import shard_map
 
         n_dev = mesh.shape[axis]
         assert B % n_dev == 0, (B, n_dev)
@@ -257,7 +254,6 @@ def make_ppo(
                 PPOState(P(), P(), P(axis), P(), P()),
                 P(),
             ),
-            check_rep=False,
         )
         train_iter = jax.jit(sharded)
 
