@@ -648,12 +648,42 @@ class ArmEnv:
         )
         return state
 
+    def _guard(self, state: ArmState):
+        """Divergence containment (reference instability catch + penalty,
+        ``env/furniture.py:2889-2897,463-467``): sanitize the lane and
+        return the ``unstable`` flag for the reward/done plumbing."""
+        from .assembly import instability_guard
+
+        parts, unstable = instability_guard(state.parts)
+        # NaN in qpos propagates through FK into every derived field
+        # (ik_target_pos, hand quats, touch flags), so sweep the whole
+        # state: any non-finite float leaf marks the lane unstable and is
+        # replaced by its finite projection.
+        rest = state._replace(parts=parts)
+        leaves_bad = [
+            ~jnp.all(jnp.isfinite(x))
+            for x in jax.tree.leaves(rest)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        ]
+        unstable = unstable | jnp.any(jnp.stack(leaves_bad))
+        state = jax.tree.map(
+            lambda x: (
+                jnp.where(unstable, jnp.nan_to_num(x), x)
+                if jnp.issubdtype(x.dtype, jnp.floating)
+                else x
+            ),
+            rest,
+        )
+        qvel = jnp.where(unstable, 0.0, state.qvel)
+        return state._replace(qvel=qvel), unstable
+
     def step(self, state: ArmState, action):
         """One control step with the base sparse reward. Returns
         (state, obs, reward, done, info)."""
         cfg = self.config
         prev_connected = state.num_connected
         state = self.step_physics(state, action)
+        state, unstable = self._guard(state)
 
         # sparse reward (env/furniture.py:482-541)
         both = jnp.any(state.touch_l & state.touch_r, axis=0)   # [P]
@@ -671,10 +701,14 @@ class ArmEnv:
             jnp.square(action[:-1])
         )
         success_reward = cfg.reward.success_reward * newly
-        reward = success_reward + touch_reward + pick_reward + ctrl_penalty
+        unstable_penalty = -cfg.reward.unstable_penalty_coef * unstable
+        reward = (
+            success_reward + touch_reward + pick_reward + ctrl_penalty
+            + unstable_penalty
+        )
 
         success = state.num_connected >= self.success_num_connects
-        done = success | (state.t >= cfg.max_episode_steps)
+        done = success | (state.t >= cfg.max_episode_steps) | unstable
         obs = self.observe(state)
         info = {
             "success": success,
@@ -683,6 +717,7 @@ class ArmEnv:
             "touch_reward": touch_reward,
             "pick_reward": pick_reward,
             "ctrl_penalty": ctrl_penalty,
+            "unstable": unstable,
         }
         return state, obs, reward, done, info
 

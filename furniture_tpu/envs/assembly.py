@@ -413,3 +413,43 @@ def settle_parts(substep_fn, substeps_fn, parts, group, cfg_sim, rounds: int = 1
         lin_vel=jnp.zeros_like(parts.lin_vel),
         ang_vel=jnp.zeros_like(parts.ang_vel),
     )
+
+
+def instability_guard(parts, pos_bound: float = 10.0):
+    """Divergence containment for one env lane.
+
+    The reference catches MuJoCo instability exceptions during
+    ``sim.step()``, logs "Simulation is unstable", resets the episode and
+    applies ``unstable_penalty_coef`` (``env/furniture.py:2889-2897``,
+    ``:463-467``). In a batched jitted step there are no exceptions, so we
+    detect divergence (non-finite pose/velocity or a part flung outside
+    ``pos_bound`` meters) and sanitize the lane to finite values; the caller
+    flags ``done`` so the vec-env auto-reset replaces the lane.
+
+    Returns ``(sanitized_parts, unstable: bool scalar)``.
+    """
+    finite = lambda x: jnp.all(jnp.isfinite(x))
+    unstable = ~(
+        finite(parts.pos)
+        & finite(parts.quat)
+        & finite(parts.lin_vel)
+        & finite(parts.ang_vel)
+    ) | jnp.any(jnp.abs(parts.pos) > pos_bound)
+
+    def sanitize(p):
+        pos = jnp.clip(jnp.nan_to_num(p.pos), -pos_bound, pos_bound)
+        quat = jnp.nan_to_num(p.quat)
+        norm = jnp.linalg.norm(quat, axis=-1, keepdims=True)
+        unit = jnp.zeros_like(quat).at[..., 0].set(1.0)
+        quat = jnp.where(norm > 1e-6, quat / jnp.maximum(norm, 1e-6), unit)
+        return p._replace(
+            pos=pos,
+            quat=quat,
+            lin_vel=jnp.zeros_like(p.lin_vel),
+            ang_vel=jnp.zeros_like(p.ang_vel),
+        )
+
+    parts = jax.tree.map(
+        lambda s, o: jnp.where(unstable, s, o), sanitize(parts), parts
+    )
+    return parts, unstable

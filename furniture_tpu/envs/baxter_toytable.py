@@ -78,6 +78,7 @@ class FurnitureBaxterToyTableEnv(ArmEnv):
 
     def step(self, state: ArmState, action):
         state = self.step_physics(state, action)
+        state, unstable = self._guard(state)
         state = state._replace(t=state.t + 1)
 
         # two-stage flip reward (furniture_baxter_toytable.py:100-165)
@@ -119,11 +120,13 @@ class FurnitureBaxterToyTableEnv(ArmEnv):
         success_rew = jnp.where(success, 100.0, 0.0)
         reward = (
             success_rew + ctrl_rew + table_rot_rew + r_gh_rew + l_gh_rew + lift_rew
+            - self.config.reward.unstable_penalty_coef * unstable
         )
-        done = success | (state.t >= self.config.max_episode_steps)
+        done = success | (state.t >= self.config.max_episode_steps) | unstable
         obs = self.observe(state)
         info = {
             "success": success,
+            "unstable": unstable,
             "table_rot_rew": table_rot_rew,
             "lift_rew": lift_rew,
             "r_gh_dist": r_gh_dist,

@@ -380,15 +380,25 @@ class CursorEnv:
 
         state = state._replace(t=state.t + 1)
 
+        # divergence containment (env/furniture.py:2889-2897,463-467)
+        from .assembly import instability_guard
+
+        parts, unstable = instability_guard(state.parts)
+        state = state._replace(parts=parts)
+
         # reward & termination (env/furniture.py:437-445, 482-541)
         newly = (state.num_connected - prev_connected).astype(jnp.float32)
-        reward = cfg.reward.success_reward * newly
+        reward = (
+            cfg.reward.success_reward * newly
+            - cfg.reward.unstable_penalty_coef * unstable
+        )
         success = state.num_connected >= self.success_num_connects
-        done = success | (state.t >= cfg.max_episode_steps)
+        done = success | (state.t >= cfg.max_episode_steps) | unstable
         obs = self.observe(state)
         info = {
             "success": success,
             "num_connected": state.num_connected,
-            "success_reward": reward,
+            "success_reward": cfg.reward.success_reward * newly,
+            "unstable": unstable,
         }
         return state, obs, reward, done, info

@@ -356,6 +356,7 @@ class FurnitureSawyerDenseRewardEnv(ArmEnv):
         d = cfg.dense
         prev_connected = state.num_connected
         state = self.step_physics(state, action)
+        state, unstable = self._guard(state)
         state = state._replace(t=state.t + 1)
         connected = state.num_connected > prev_connected
 
@@ -739,12 +740,14 @@ class FurnitureSawyerDenseRewardEnv(ArmEnv):
             + bonus
             + move_other_penalty
             + drop_penalty
+            - cfg.reward.unstable_penalty_coef * unstable
         )
-        done = done | (state.t >= cfg.max_episode_steps)
+        done = done | (state.t >= cfg.max_episode_steps) | unstable
 
         obs = self.observe(state)
         info = {
             "success": success,
+            "unstable": unstable,
             "phase_i": state.phase_i
             + N_PHASES * state.subtask_step,
             "subtask": state.subtask_step,

@@ -207,3 +207,24 @@ def test_vmap_batching(env):
     states, obs, rew, done, info = jax.jit(jax.vmap(env.step))(states, actions)
     assert states.qpos.shape == (B, env.robot.nj)
     assert rew.shape == (B,)
+
+
+def test_arm_instability_guard():
+    """NaN qpos / flung parts are contained: lane sanitized, penalized,
+    done (env/furniture.py:2889-2897,463-467)."""
+    import jax, jax.numpy as jnp, numpy as np
+    from furniture_tpu.config import EnvConfig
+    from furniture_tpu.envs.arm import ArmEnv
+
+    env = ArmEnv(EnvConfig(agent_type="Sawyer", control_type="ik"))
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    bad = s._replace(
+        qpos=s.qpos.at[0].set(jnp.nan),
+        parts=s.parts._replace(pos=s.parts.pos.at[0, 2].set(50.0)),
+    )
+    step = jax.jit(env.step)
+    s2, obs, rew, done, info = step(bad, jnp.zeros(env.dof))
+    assert bool(info["unstable"]) and bool(done)
+    assert float(rew) < 0
+    for leaf in jax.tree.leaves((s2, obs)):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -191,3 +191,27 @@ def test_vmapped_steps(env):
     assert s.parts.pos.shape == (B, 5, 3)
     assert obs["object_ob"].shape == (B, 35)
     assert rew.shape == (B,)
+
+
+def test_instability_guard_resets_lane(env, reset_state):
+    """Divergent lanes are sanitized, penalized, and flagged done
+    (reference instability catch, env/furniture.py:2889-2897,463-467)."""
+    step = jax.jit(env.step)
+    bad = reset_state._replace(
+        parts=reset_state.parts._replace(
+            pos=reset_state.parts.pos.at[0, 0].set(jnp.nan),
+            lin_vel=reset_state.parts.lin_vel.at[1, 2].set(jnp.inf),
+        )
+    )
+    s, obs, rew, done, info = step(bad, jnp.zeros(15))
+    assert bool(info["unstable"])
+    assert bool(done)
+    assert float(rew) <= -env.config.reward.unstable_penalty_coef + 1e-6
+    for leaf in jax.tree.leaves((s.parts, obs)):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_stable_lane_not_flagged(env, reset_state):
+    step = jax.jit(env.step)
+    _, _, _, _, info = step(reset_state, jnp.zeros(15))
+    assert not bool(info["unstable"])
