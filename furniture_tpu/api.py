@@ -177,22 +177,38 @@ class VecEnv:
 
         reset1 = self.env.reset
         step1 = self.env.step
+        # batched fast paths (megakernel physics) where the env provides them
+        if getattr(self.env, "has_batch_api", False):
+            reset_b = self.env.reset_batch
+            step_b = self.env.step_batch
+        else:
+            reset_b = lambda keys: jax.vmap(reset1)(keys)
+            step_b = lambda state, actions: jax.vmap(step1)(state, actions)
 
         @jax.jit
         def reset_all(key):
-            return jax.vmap(reset1)(jax.random.split(key, num_envs))
+            return reset_b(jax.random.split(key, num_envs))
 
         @jax.jit
         def step_all(state, actions, key):
-            state, obs, rew, done, info = jax.vmap(step1)(state, actions)
-            fresh = jax.vmap(reset1)(jax.random.split(key, num_envs))
-            state = jax.tree.map(
-                lambda new, old: jnp.where(
-                    done.reshape((num_envs,) + (1,) * (old.ndim - 1)), new, old
-                ),
-                fresh,
-                state,
-            )
+            state, obs, rew, done, info = step_b(state, actions)
+
+            # lazy auto-reset: episodes are 2000 steps (config/furniture.py:
+            # 164-168), so dones are rare — only pay the reset (100 settle
+            # substeps/lane) on steps where some lane actually finished
+            def do_reset(st):
+                fresh = reset_b(jax.random.split(key, num_envs))
+                return jax.tree.map(
+                    lambda new, old: jnp.where(
+                        done.reshape((num_envs,) + (1,) * (old.ndim - 1)),
+                        new,
+                        old,
+                    ),
+                    fresh,
+                    st,
+                )
+
+            state = jax.lax.cond(jnp.any(done), do_reset, lambda s: s, state)
             return state, obs, rew, done, info
 
         self._reset_all = reset_all

@@ -41,12 +41,18 @@ class SimConfig:
     # kinematic-gripper squeeze overlap: fingers servo at most this far past
     # first part contact (emulates MuJoCo's force-limited finger servos)
     gripper_squeeze: float = 0.004
-    # contact solver backend: "on" = Pallas TPU kernel, "off" = pure XLA.
-    # Measured on TPU v5e at the current lane counts (~200-2k lanes/env) the
-    # XLA-fused solver wins (one program per env underfeeds the VPU); the
-    # kernel is kept as a validated alternative for the large-lane regime.
-    # See physics/pallas_solver.py.
-    use_pallas: str = "off"
+    # physics backend for *batched* step paths:
+    #   "auto" (default): whole-control-step Pallas megakernel on TPU
+    #     (physics/megakernel.py — measured ~15-100x over the XLA-fused
+    #     per-env path, which is launch/HBM-roundtrip bound at P~5/K~200),
+    #     pure XLA elsewhere (CPU tests, virtual-device meshes)
+    #   "on": megakernel everywhere (interpret mode off-TPU; slow, test-only)
+    #   "off": pure XLA everywhere
+    #   "lane": legacy per-env Pallas lane solver (physics/pallas_solver.py,
+    #     kept as a validated alternative backend)
+    use_pallas: str = "auto"
+    # environments per megakernel grid program (lane-dimension block)
+    mega_block: int = 256
 
 
 @dataclass(frozen=True)

@@ -38,6 +38,7 @@ from ..models import CompiledModel, compile_from_config, compile_model
 from ..physics import PartState, init_state
 from .assembly import AssemblyOps
 from ..physics.engine import make_substep, physics_tables, substeps
+from ..physics.megakernel import make_batched_substeps
 
 _CURSOR_MARGIN = 0.06  # cursor box half 0.01 + geom margin 0.05
 
@@ -64,7 +65,13 @@ class CursorEnv:
     """Host-side factory for the pure reset/step functions of one furniture
     model. The returned functions close over static model arrays; jit/vmap
     them from the caller (see ``furniture_tpu.api`` for the gym-like host
-    wrapper and ``furniture_tpu.parallel`` for sharded rollouts)."""
+    wrapper and ``furniture_tpu.parallel`` for sharded rollouts).
+
+    ``step_batch``/``reset_batch`` are the preferred batched entry points:
+    same semantics as ``vmap(step)``/``vmap(reset)``, but physics routes
+    through the whole-control-step Pallas megakernel on TPU."""
+
+    has_batch_api = True
 
     def __init__(self, config: EnvConfig | None = None, model: CompiledModel | None = None):
         self.config = config or EnvConfig()
@@ -81,6 +88,9 @@ class CursorEnv:
         self.dof = 15
         # shared assembly machinery (alignment / connect / weld bookkeeping)
         self.ops = AssemblyOps(self.model, self.config, self.tables)
+        self._batched_substeps = make_batched_substeps(
+            self.tables, self.config.sim, self.substep
+        )
 
     def _conn_world(self, parts: PartState):
         """World pose of all connector sites (delegates to AssemblyOps)."""
@@ -195,9 +205,9 @@ class CursorEnv:
 
     # -- public API --------------------------------------------------------
 
-    def reset(self, key) -> CursorState:
-        """Pure reset: randomized placement + settle
-        (``env/furniture.py:1406-1653``, ``placement_sampler.py:137-190``)."""
+    def _sample_parts(self, key) -> PartState:
+        """Randomized placement with overlap rejection
+        (``placement_sampler.py:137-190``)."""
         m = self.model
         cfg = self.config
         P = self._P
@@ -239,13 +249,54 @@ class CursorEnv:
             return pos, key
 
         pos, _ = jax.lax.fori_loop(0, 10, resample_round, (pos, k_rot))
+        return init_state(pos, quat)
 
-        parts = init_state(pos, quat)
-        group = jnp.arange(P, dtype=jnp.int32)
+    def _initial_state(self, parts: PartState) -> CursorState:
+        """Assemble the post-settle CursorState (``env/furniture.py:1777-1779``
+        cursor start poses; ``:2723-2736`` initial subtask)."""
+        m = self.model
+        cfg = self.config
+        if self._W:
+            subtask = jnp.stack(
+                [
+                    jnp.asarray(m.weld_part1)[0],
+                    jnp.asarray(m.weld_part2)[0],
+                ]
+            )
+        else:
+            subtask = jnp.array([-1, -1])
+
+        return CursorState(
+            parts=parts,
+            group=jnp.arange(self._P, dtype=jnp.int32),
+            cursor_pos=jnp.array(
+                [
+                    [-0.2, 0.0, cfg.move_speed / 2],
+                    [0.2, 0.0, cfg.move_speed / 2],
+                ],
+                jnp.float32,
+            ),
+            selected=jnp.array([-1, -1], jnp.int32),
+            connect_step=jnp.array(0, jnp.int32),
+            num_connected=jnp.array(0, jnp.int32),
+            conn_connected=jnp.zeros(self._C, bool),
+            weld_active=jnp.zeros(self._W, bool),
+            subtask=subtask.astype(jnp.int32),
+            connected_body1=jnp.array(-1, jnp.int32),
+            connected_body1_pos=jnp.zeros(3),
+            connected_body1_quat=jnp.array([1.0, 0, 0, 0]),
+            t=jnp.array(0, jnp.int32),
+        )
+
+    def reset(self, key) -> CursorState:
+        """Pure reset: randomized placement + settle
+        (``env/furniture.py:1406-1653``, ``placement_sampler.py:137-190``)."""
+        parts = self._sample_parts(key)
+        group = jnp.arange(self._P, dtype=jnp.int32)
 
         # settle: 10 × (zero vel, 10 substeps, clip vel) with gravity
         # compensation (env/furniture.py:1535-1540: _stop/_slow_objects)
-        gscale = jnp.zeros(P)
+        gscale = jnp.zeros(self._P)
 
         def settle(i, p):
             p = p._replace(
@@ -264,39 +315,32 @@ class CursorEnv:
             lin_vel=jnp.zeros_like(parts.lin_vel),
             ang_vel=jnp.zeros_like(parts.ang_vel),
         )
+        return self._initial_state(parts)
 
-        # initial subtask = first weld pair (env/furniture.py:2723-2736)
-        if self._W:
-            subtask = jnp.stack(
-                [
-                    jnp.asarray(m.weld_part1)[0],
-                    jnp.asarray(m.weld_part2)[0],
-                ]
+    def reset_batch(self, keys) -> CursorState:
+        """Batched reset: vmapped placement, settle through the batched
+        physics backend (megakernel on TPU). Semantics identical to
+        ``vmap(reset)``."""
+        B = keys.shape[0]
+        parts = jax.vmap(self._sample_parts)(keys)
+        group = jnp.tile(jnp.arange(self._P, dtype=jnp.int32), (B, 1))
+        gscale = jnp.zeros((B, self._P))
+        clip = self.config.sim.slow_clip
+        for _ in range(10):
+            parts = parts._replace(
+                lin_vel=jnp.zeros_like(parts.lin_vel),
+                ang_vel=jnp.zeros_like(parts.ang_vel),
             )
-        else:
-            subtask = jnp.array([-1, -1])
-
-        return CursorState(
-            parts=parts,
-            group=group,
-            cursor_pos=jnp.array(
-                [
-                    [-0.2, 0.0, cfg.move_speed / 2],
-                    [0.2, 0.0, cfg.move_speed / 2],
-                ],
-                jnp.float32,
-            ),  # env/furniture.py:1777-1779
-            selected=jnp.array([-1, -1], jnp.int32),
-            connect_step=jnp.array(0, jnp.int32),
-            num_connected=jnp.array(0, jnp.int32),
-            conn_connected=jnp.zeros(self._C, bool),
-            weld_active=jnp.zeros(self._W, bool),
-            subtask=subtask.astype(jnp.int32),
-            connected_body1=jnp.array(-1, jnp.int32),
-            connected_body1_pos=jnp.zeros(3),
-            connected_body1_quat=jnp.array([1.0, 0, 0, 0]),
-            t=jnp.array(0, jnp.int32),
+            parts = self._batched_substeps(parts, group, gscale, 10)
+            parts = parts._replace(
+                lin_vel=jnp.clip(parts.lin_vel, -clip, clip),
+                ang_vel=jnp.clip(parts.ang_vel, -clip, clip),
+            )
+        parts = parts._replace(
+            lin_vel=jnp.zeros_like(parts.lin_vel),
+            ang_vel=jnp.zeros_like(parts.ang_vel),
         )
+        return jax.vmap(self._initial_state)(parts)
 
     def observe(self, state: CursorState) -> dict:
         """Observation dict matching the reference layout
@@ -317,16 +361,13 @@ class CursorEnv:
             obs["subtask_ob"] = state.subtask + 1
         return obs
 
-    def step(self, state: CursorState, action):
-        """One control step. Returns (state, obs, reward, done, info)."""
-        cfg = self.config
-        prev_connected = state.num_connected
-
-        # per-cursor discrete action (env/furniture.py:800-836)
+    def _pre_physics(self, state: CursorState, action):
+        """Cursor sub-actions + connect attempt; returns the updated state and
+        the held-part mask for the physics step
+        (``env/furniture.py:800-845``)."""
         state = self._cursor_update(state, 0, action[0:7])
         state = self._cursor_update(state, 1, action[7:14])
 
-        # connect (env/furniture.py:836-845)
         both = (state.selected[0] >= 0) & (state.selected[1] >= 0)
         do_connect = (action[14] > 0) & both
         state = jax.lax.cond(
@@ -336,7 +377,6 @@ class CursorEnv:
             state,
         )
 
-        # physics control step (env/furniture.py:2857-2887)
         held = jnp.zeros(self._P, bool)
         for i in range(2):
             sel = state.selected[i]
@@ -345,6 +385,57 @@ class CursorEnv:
                 held | (state.group == state.group[jnp.maximum(sel, 0)]),
                 held,
             )
+        return state, held
+
+    def _snap_move(self, state: CursorState) -> PartState:
+        """Post-connect pose snap-back move (``env/furniture.py:426-436``):
+        returns the snap-target parts (velocities zeroed); caller runs the one
+        settle substep and selects by ``connected_body1 >= 0``."""
+        p1 = jnp.maximum(state.connected_body1, 0)
+        cur = state.parts.pos[p1]
+        move = state.connected_body1_pos - cur
+        moved = self.ops.move_group(
+            state.parts, state.group, p1, move, state.connected_body1_quat
+        )
+        return moved._replace(
+            lin_vel=jnp.zeros_like(moved.lin_vel),
+            ang_vel=jnp.zeros_like(moved.ang_vel),
+        )
+
+    def _finish(self, state: CursorState, prev_connected):
+        """Instability guard + reward + termination
+        (``env/furniture.py:437-445, 482-541, 2889-2897``)."""
+        cfg = self.config
+        from .assembly import instability_guard
+
+        state = state._replace(t=state.t + 1)
+        parts, unstable = instability_guard(state.parts)
+        state = state._replace(parts=parts)
+
+        newly = (state.num_connected - prev_connected).astype(jnp.float32)
+        reward = (
+            cfg.reward.success_reward * newly
+            - cfg.reward.unstable_penalty_coef * unstable
+        )
+        success = state.num_connected >= self.success_num_connects
+        done = success | (state.t >= cfg.max_episode_steps) | unstable
+        obs = self.observe(state)
+        info = {
+            "success": success,
+            "num_connected": state.num_connected,
+            "success_reward": cfg.reward.success_reward * newly,
+            "unstable": unstable,
+        }
+        return state, obs, reward, done, info
+
+    def step(self, state: CursorState, action):
+        """One control step (single env). Returns
+        (state, obs, reward, done, info)."""
+        cfg = self.config
+        prev_connected = state.num_connected
+        state, held = self._pre_physics(state, action)
+
+        # physics control step (env/furniture.py:2857-2887)
         parts = state.parts._replace(
             lin_vel=jnp.zeros_like(state.parts.lin_vel),
             ang_vel=jnp.zeros_like(state.parts.ang_vel),
@@ -361,44 +452,52 @@ class CursorEnv:
 
         # post-connect pose snap-back + one substep (env/furniture.py:426-436)
         def snap_back(st: CursorState) -> CursorState:
-            p1 = jnp.maximum(st.connected_body1, 0)
-            cur = st.parts.pos[p1]
-            move = st.connected_body1_pos - cur
-            moved = self.ops.move_group(
-                st.parts, st.group, p1, move, st.connected_body1_quat
-            )
-            moved = moved._replace(
-                lin_vel=jnp.zeros_like(moved.lin_vel),
-                ang_vel=jnp.zeros_like(moved.ang_vel),
-            )
+            moved = self._snap_move(st)
             moved = substeps(self.substep, moved, st.group, gscale, 1)
             return st._replace(parts=moved, connected_body1=jnp.array(-1))
 
         state = jax.lax.cond(
             state.connected_body1 >= 0, snap_back, lambda s: s, state
         )
+        return self._finish(state, prev_connected)
 
-        state = state._replace(t=state.t + 1)
+    def step_batch(self, states: CursorState, actions):
+        """One control step for a batch (leading dim B). Identical semantics
+        to ``vmap(step)`` but routes the physics through the batched backend
+        (the whole-control-step Pallas megakernel on TPU) — the difference is
+        ~2 orders of magnitude in sequential-kernel count per step."""
+        cfg = self.config
+        prev_connected = states.num_connected
+        states, held = jax.vmap(self._pre_physics)(states, actions)
 
-        # divergence containment (env/furniture.py:2889-2897,463-467)
-        from .assembly import instability_guard
-
-        parts, unstable = instability_guard(state.parts)
-        state = state._replace(parts=parts)
-
-        # reward & termination (env/furniture.py:437-445, 482-541)
-        newly = (state.num_connected - prev_connected).astype(jnp.float32)
-        reward = (
-            cfg.reward.success_reward * newly
-            - cfg.reward.unstable_penalty_coef * unstable
+        parts = states.parts._replace(
+            lin_vel=jnp.zeros_like(states.parts.lin_vel),
+            ang_vel=jnp.zeros_like(states.parts.ang_vel),
         )
-        success = state.num_connected >= self.success_num_connects
-        done = success | (state.t >= cfg.max_episode_steps) | unstable
-        obs = self.observe(state)
-        info = {
-            "success": success,
-            "num_connected": state.num_connected,
-            "success_reward": cfg.reward.success_reward * newly,
-            "unstable": unstable,
-        }
-        return state, obs, reward, done, info
+        gscale = jnp.where(held, 0.0, 1.0)
+        parts = self._batched_substeps(
+            parts, states.group, gscale, cfg.n_substeps
+        )
+        parts = parts._replace(
+            lin_vel=jnp.where(held[..., None], 0.0, parts.lin_vel),
+            ang_vel=jnp.where(held[..., None], 0.0, parts.ang_vel),
+        )
+        states = states._replace(parts=parts)
+
+        # post-connect snap-back (computed for every lane, selected by mask —
+        # the vmapped lax.cond in `step` executes both branches anyway)
+        snap = states.connected_body1 >= 0
+        moved = jax.vmap(self._snap_move)(states)
+        settled = self._batched_substeps(moved, states.group, gscale, 1)
+        sel = snap[:, None, None]
+        parts = PartState(
+            pos=jnp.where(sel, settled.pos, states.parts.pos),
+            quat=jnp.where(sel, settled.quat, states.parts.quat),
+            lin_vel=jnp.where(sel, settled.lin_vel, states.parts.lin_vel),
+            ang_vel=jnp.where(sel, settled.ang_vel, states.parts.ang_vel),
+        )
+        states = states._replace(
+            parts=parts,
+            connected_body1=jnp.where(snap, -1, states.connected_body1),
+        )
+        return jax.vmap(self._finish)(states, prev_connected)

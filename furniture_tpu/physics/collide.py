@@ -166,11 +166,12 @@ def pair_contacts(model_np, pos, quat, group, slop: float) -> Contacts:
 
     # corners of A in B: normal pushes A out of B (normal on A = +n_world)
     cw_ab, n_ab, d_ab, in_ab = verts_in_box(ga, gb)
-    # corners of B in A: normal from A's face pushes B out; flip so it acts on A
+    # corners of B in A: normal from A's face pushes B (the lane's part_a —
+    # the corner owner) out of A, so it is used unflipped
     cw_ba, n_ba, d_ba, in_ba = verts_in_box(gb, ga)
 
     point = jnp.concatenate([cw_ab.reshape(-1, 3), cw_ba.reshape(-1, 3)])
-    normal = jnp.concatenate([n_ab.reshape(-1, 3), -n_ba.reshape(-1, 3)])
+    normal = jnp.concatenate([n_ab.reshape(-1, 3), n_ba.reshape(-1, 3)])
     depth = jnp.concatenate([d_ab.reshape(-1), d_ba.reshape(-1)])
     inside = jnp.concatenate([in_ab.reshape(-1), in_ba.reshape(-1)])
 

@@ -254,11 +254,10 @@ def make_substep(model_np, cfg_sim):
     dt = cfg_sim.timestep
     gvec = jnp.array([0.0, 0.0, cfg_sim.gravity], jnp.float32)
 
-    use_pallas = cfg_sim.use_pallas == "on" or (
-        cfg_sim.use_pallas == "auto" and jax.default_backend() == "tpu"
-    )  # default "off": measured slower than the XLA-fused path at the
-       # current per-env lane counts (see pallas_solver.py docstring)
-    if use_pallas:
+    # "lane" selects the legacy per-env Pallas lane solver; the batched
+    # whole-step megakernel (physics/megakernel.py) is dispatched at the env
+    # step_batch level, not here
+    if cfg_sim.use_pallas == "lane":
         from .pallas_solver import solve_contacts_pallas as solver
     else:
         solver = _solve_contacts

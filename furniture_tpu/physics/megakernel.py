@@ -1,0 +1,663 @@
+"""Whole-control-step Pallas TPU megakernel for the free-part physics.
+
+Why this exists: one environment's physics step is tiny (P≈5 parts, K≈200
+contact lanes) but *deep* — 50 substeps × (narrow phase + 24 Jacobi solver
+iterations) ≈ 1200 sequential micro-steps. Lowered through XLA as a
+`lax.scan`/`fori_loop` chain this becomes thousands of small kernels whose
+HBM round-trips and launch latency dominate (measured ~0.5 s per batched
+control step at batch 2048 on TPU v5e — ~100x the compute roofline). This
+kernel runs the *entire* substep loop for a block of environments inside one
+Pallas program with all state resident in VMEM.
+
+Layout: batch-last ("structure of arrays"), component-major. Every per-part
+quantity is a ``[P, Bb]`` f32 array (parts in sublanes, environments in the
+128-wide lane dimension); every per-contact-lane quantity is ``[K, Bb]``.
+Static lane→part maps become constant one-hot matmuls on the MXU; the
+*dynamic* rigid-group structure (which changes only between control steps,
+at connect events) factors into a per-call ``[P, P, Bb]`` membership tensor
+applied as a tiny unrolled spread — so no gathers/scatters with batch
+dimensions ever reach the lowering.
+
+The math replicates ``engine.make_substep`` (group-composite aggregates,
+vertex-in-box narrow phase of ``collide.floor_contacts``/``pair_contacts``,
+the mass-split Jacobi solver of ``engine._solve_contacts``, axis-angle
+integration, floor projection) to f32-accumulation-order tolerance; parity
+is asserted in ``tests/test_megakernel.py``.
+
+Reference semantics covered (citations into /root/reference): the MuJoCo
+substep loop ``env/furniture.py:2877-2879`` and the contact/weld model it
+invokes (see ``physics/engine.py`` docstrings for the per-piece citations).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .state import PartState
+
+_CORNER_SIGNS = np.array(
+    [[sx, sy, sz] for sx in (-1.0, 1.0) for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)],
+    np.float32,
+)  # [8,3]
+
+
+# -- component-tuple math helpers (each component a [rows, B] array) ----------
+
+
+def _qmul(a, b):
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return (
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    )
+
+
+def _qconj(q):
+    w, x, y, z = q
+    return (w, -x, -y, -z)
+
+
+def _qrot(q, v):
+    """R(q) v = v + 2 w (u x v) + 2 u x (u x v) (transforms.quat_rotate)."""
+    w, x, y, z = q
+    vx, vy, vz = v
+    ux = y * vz - z * vy
+    uy = z * vx - x * vz
+    uz = x * vy - y * vx
+    return (
+        vx + 2.0 * (w * ux + (y * uz - z * uy)),
+        vy + 2.0 * (w * uy + (z * ux - x * uz)),
+        vz + 2.0 * (w * uz + (x * uy - y * ux)),
+    )
+
+
+def _cross(a, b):
+    ax, ay, az = a
+    bx, by, bz = b
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _matcat(mat, arrs):
+    """Apply const ``mat [M,N]`` to each [N,B] array (MXU matmuls).
+
+    Per-array dots rather than one concatenated dot: Mosaic cannot
+    concatenate vectors with mismatched sublane offsets along the lane dim
+    ("result/input offset mismatch on non-concat dimension")."""
+    return tuple(
+        jnp.dot(mat, a, preferred_element_type=jnp.float32) for a in arrs
+    )
+
+
+def _inv3_rows(m, reg):
+    """Closed-form 3x3 inverse of a nested-list [3][3] of [P,B] arrays."""
+    m = [[m[i][j] + (reg if i == j else 0.0) for j in range(3)] for i in range(3)]
+    c00 = m[1][1] * m[2][2] - m[1][2] * m[2][1]
+    c01 = m[0][2] * m[2][1] - m[0][1] * m[2][2]
+    c02 = m[0][1] * m[1][2] - m[0][2] * m[1][1]
+    c10 = m[1][2] * m[2][0] - m[1][0] * m[2][2]
+    c11 = m[0][0] * m[2][2] - m[0][2] * m[2][0]
+    c12 = m[0][2] * m[1][0] - m[0][0] * m[1][2]
+    c20 = m[1][0] * m[2][1] - m[1][1] * m[2][0]
+    c21 = m[0][1] * m[2][0] - m[0][0] * m[2][1]
+    c22 = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+    det = m[0][0] * c00 + m[0][1] * c10 + m[0][2] * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    return [
+        [c00 * inv_det, c01 * inv_det, c02 * inv_det],
+        [c10 * inv_det, c11 * inv_det, c12 * inv_det],
+        [c20 * inv_det, c21 * inv_det, c22 * inv_det],
+    ]
+
+
+def make_batched_substeps(tables, cfg_sim, substep_fn):
+    """Batched-substeps dispatcher: ``f(parts[B], group[B,P], gscale[B,P], n)``.
+
+    Picks the whole-control-step megakernel per ``SimConfig.use_pallas``
+    ("auto": TPU only; "on": everywhere via interpret mode; otherwise the
+    vmapped XLA path, which is also the fallback for degenerate models
+    with no cross-part geom pairs).
+    """
+    import jax as _jax
+
+    from .engine import substeps as _substeps
+
+    mode = cfg_sim.use_pallas
+    on_tpu = _jax.default_backend() == "tpu"
+    use_mega = (mode == "auto" and on_tpu) or mode == "on"
+    if use_mega and len(tables["_pairs"]) > 0:
+        mega = MegaPhysics(
+            tables, cfg_sim, block=cfg_sim.mega_block, interpret=not on_tpu
+        )
+        return mega.substeps
+
+    def xla_substeps(parts, group, gscale, n):
+        return _jax.vmap(
+            lambda p, g, gs: _substeps(substep_fn, p, g, gs, n)
+        )(parts, group, gscale)
+
+    return xla_substeps
+
+
+class MegaPhysics:
+    """Factory for the batched whole-control-step substeps kernel.
+
+    ``substeps(parts, group, gravity_scale, n)`` takes batch-leading pytrees
+    (``parts.pos [B,P,3]`` …, ``group [B,P]``, ``gravity_scale [B,P]``) and
+    runs ``n`` physics substeps entirely on-chip.
+    """
+
+    def __init__(self, model_np, cfg_sim, block: int = 256, interpret: bool = False):
+        self.cfg = cfg_sim
+        self.block = block
+        self.interpret = interpret
+
+        gp = np.asarray(model_np["geom_part"])
+        G = len(gp)
+        P = int(np.max(gp)) + 1 if G else 0
+        self.P = P
+        sizes = np.asarray(model_np["_box_sizes"], np.float32)  # [G,3]
+        gpos = np.asarray(model_np["geom_pos"], np.float32)
+        gquat = np.asarray(model_np["geom_quat"], np.float32)
+
+        # corner offsets in the *part* frame: gpos + R(gquat) (signs * size)
+        def part_frame_corners(geoms):
+            out = np.zeros((len(geoms) * 8, 3), np.float32)
+            for i, g in enumerate(geoms):
+                c = _CORNER_SIGNS * sizes[g]  # [8,3]
+                w, x, y, z = gquat[g]
+                R = np.array(
+                    [
+                        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                    ],
+                    np.float32,
+                )
+                out[i * 8 : (i + 1) * 8] = gpos[g] + c @ R.T
+            return out
+
+        # floor lanes (order matches collide.floor_contacts: geom-major)
+        lf_geom = np.repeat(np.arange(G), 8)
+        self.Kf = G * 8
+        self.lf_corner = part_frame_corners(np.arange(G))  # [Kf,3]
+        self.lf_part = gp[lf_geom]
+        self.lf_fric = np.asarray(model_np["_floor_friction"], np.float32)[lf_geom]
+
+        # pair lanes (order matches collide.pair_contacts: AB block then BA)
+        pairs = np.asarray(model_np["_pairs"]).reshape(-1, 2)
+        NP_ = len(pairs)
+        src = np.concatenate([pairs[:, 0], pairs[:, 1]]) if NP_ else np.zeros(0, int)
+        dst = np.concatenate([pairs[:, 1], pairs[:, 0]]) if NP_ else np.zeros(0, int)
+        lp_src = np.repeat(src, 8)
+        lp_dst = np.repeat(dst, 8)
+        self.Kp = len(lp_src)
+        self.lp_corner = part_frame_corners(src) if NP_ else np.zeros((0, 3), np.float32)
+        self.lp_part_a = gp[lp_src] if NP_ else np.zeros(0, int)
+        self.lp_part_b = gp[lp_dst] if NP_ else np.zeros(0, int)
+        fric = np.asarray(model_np["geom_friction"], np.float32)
+        pair_fric = np.maximum(fric[src], fric[dst]) if NP_ else np.zeros(0, np.float32)
+        self.lp_fric = np.repeat(pair_fric, 8)
+        # dst geom offsets / sizes per pair lane
+        self.lp_dst_pos = gpos[lp_dst] if NP_ else np.zeros((0, 3), np.float32)
+        self.lp_dst_quat = (
+            gquat[lp_dst] if NP_ else np.zeros((0, 4), np.float32)
+        )
+        self.lp_dst_size = sizes[lp_dst] if NP_ else np.zeros((0, 3), np.float32)
+
+        self.K = self.Kf + self.Kp
+        part_a = np.concatenate([self.lf_part, self.lp_part_a]).astype(int)
+        part_b = np.concatenate(
+            [np.full(self.Kf, -1), self.lp_part_b]
+        ).astype(int)
+        has_b = part_b >= 0
+        pb_safe = np.where(has_b, part_b, 0)
+
+        def onehot(idx):
+            m = np.zeros((len(idx), P), np.float32)
+            m[np.arange(len(idx)), idx] = 1.0
+            return m
+
+        self.OA = onehot(part_a)                      # [K,P]
+        self.OBS = onehot(pb_safe)                    # [K,P] (pb_safe, incl. floor)
+        self.OB = self.OBS * has_b[:, None]           # [K,P] zero rows for floor
+        self.OAf = onehot(self.lf_part) if self.Kf else np.zeros((0, P), np.float32)
+        self.OAp = onehot(self.lp_part_a) if self.Kp else np.zeros((0, P), np.float32)
+        self.OBp = onehot(self.lp_part_b) if self.Kp else np.zeros((0, P), np.float32)
+        self.lane_fric = np.concatenate([self.lf_fric, self.lp_fric]).astype(np.float32)
+
+        # floor-projection masks: floor lane -> part
+        self.floor_mask_p = np.stack(
+            [self.lf_part == p for p in range(P)]
+        ).astype(np.float32)  # [P,Kf]
+
+        self.mass = np.asarray(model_np["part_mass"], np.float32)       # [P]
+        self.com_l = np.asarray(model_np["part_com"], np.float32)       # [P,3]
+        self.inertia_l = np.asarray(model_np["part_inertia"], np.float32)  # [P,3,3]
+
+        self._compiled = {}
+
+    # -- kernel body ---------------------------------------------------------
+
+    def _kernel_body(
+        self,
+        x_ref,
+        pc_ref,
+        oa_ref,
+        obs_ref,
+        ob_ref,
+        oat_ref,
+        obt_ref,
+        fric_ref,
+        lfc_ref,
+        oaf_ref,
+        fmpt_ref,
+        lpc_ref,
+        oap_ref,
+        obp_ref,
+        y_ref,
+        *,
+        n: int,
+    ):
+        P, Kf, Kp, K = self.P, self.Kf, self.Kp, self.K
+        cfg = self.cfg
+        dt = cfg.timestep
+        slop = cfg.contact_slop
+        iters = cfg.solver_iters
+        relax = cfg.relaxation
+        baum = cfg.baumgarte
+        maxv = cfg.max_velocity
+        gz = cfg.gravity
+
+        s = x_ref[:]
+        Bb = s.shape[-1]
+
+        def grab(o, c):
+            return tuple(s[(o + i) * P : (o + i + 1) * P] for i in range(c))
+
+        pos0 = grab(0, 3)
+        quat0 = grab(3, 4)
+        lin0 = grab(7, 3)
+        ang0 = grab(10, 3)
+        group = s[13 * P : 14 * P]
+        gscale = s[14 * P : 15 * P]
+
+        # unpack constant tables (passed as inputs: pallas kernels cannot
+        # close over traced constants)
+        pc = pc_ref[:]                                                   # [P,13]
+        col = lambda a, i: a[:, i : i + 1]                               # [N,1]
+        MASS = col(pc, 0)
+        COM_L = tuple(col(pc, 1 + c) for c in range(3))
+        IL = [[col(pc, 4 + 3 * i + j) for j in range(3)] for i in range(3)]
+        OA = oa_ref[:]
+        OBS = obs_ref[:]
+        OB = ob_ref[:]
+        OAT = oat_ref[:]
+        OBT = obt_ref[:]
+        FRIC = fric_ref[:]                                               # [K,1]
+
+        lfc = lfc_ref[:]                                                 # [Kf,3]
+        LF_C = tuple(col(lfc, c) for c in range(3))
+        OAf = oaf_ref[:]
+        lpc = lpc_ref[:]                                                 # [Kp,13]
+        LP_C = tuple(col(lpc, c) for c in range(3))
+        LP_DP = tuple(col(lpc, 3 + c) for c in range(3))
+        LP_DQ = tuple(col(lpc, 6 + c) for c in range(4))
+        LP_SZ = tuple(col(lpc, 10 + c) for c in range(3))
+        OAp = oap_ref[:]
+        OBp = obp_ref[:]
+        fmpt = fmpt_ref[:]                                               # [Kf,P]
+        FMP = [col(fmpt, p) for p in range(P)]
+
+        # per-call constants: groups/gravity are fixed within a control step
+        member = (group[:, None, :] == group[None, :, :]).astype(jnp.float32)
+        gl_a = _matcat(OAp, (group,))[0]   # [Kp,Bb] group label of side a
+        gl_b = _matcat(OBp, (group,))[0]
+        diff_group = (gl_a != gl_b).astype(jnp.float32)
+
+        def spread_sum(vals):
+            """group spread: out[p] = sum_q member[p,q] * vals[q]."""
+            return tuple(jnp.sum(member * v[None, :, :], axis=1) for v in vals)
+
+        def substep(_, st):
+            pos, quat, lin, ang = st
+
+            # ---- group aggregates (engine._group_aggregates) ----
+            com_w = tuple(p + c for p, c in zip(pos, _qrot(quat, COM_L)))
+            w, x, y, z = quat
+            R = [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ]
+            # I_w = R I_l R^T
+            Iw = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(3):
+                    acc = 0.0
+                    for a in range(3):
+                        for b in range(3):
+                            acc = acc + R[i][a] * IL[a][b] * R[j][b]
+                    Iw[i][j] = acc
+
+            g_mass = jnp.sum(member * MASS[None, :, :], axis=1)          # [P,Bb]
+            inv_gm = 1.0 / g_mass
+            g_com = tuple(
+                jnp.sum(member * (MASS * c)[None, :, :], axis=1) * inv_gm
+                for c in com_w
+            )
+            d = tuple(c[None, :, :] - gc[:, None, :] for c, gc in zip(com_w, g_com))
+            d2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+            gI = [[None] * 3 for _ in range(3)]
+            for i in range(3):
+                for j in range(3):
+                    pa = MASS[None, :, :] * ((d2 if i == j else 0.0) - d[i] * d[j])
+                    gI[i][j] = jnp.sum(member * (Iw[i][j][None, :, :] + pa), axis=1)
+            invI = _inv3_rows(gI, 1e-8)
+
+            # ---- gravity on groups ----
+            lin = (lin[0], lin[1], lin[2] + dt * gz * gscale)
+
+            # ---- narrow phase ----
+            # floor lanes: corner world z
+            pq_f = _matcat(OAf, quat)
+            pp_f = _matcat(OAf, pos)
+            cw_f = tuple(p + c for p, c in zip(pp_f, _qrot(pq_f, LF_C)))
+            depth_f = -cw_f[2]
+            fmask_f = (depth_f > -slop).astype(jnp.float32)
+            n_f = (jnp.zeros_like(depth_f), jnp.zeros_like(depth_f), jnp.ones_like(depth_f))
+
+            pq_a = _matcat(OAp, quat)
+            pp_a = _matcat(OAp, pos)
+            pq_b = _matcat(OBp, quat)
+            pp_b = _matcat(OBp, pos)
+            cw_p = tuple(p + c for p, c in zip(pp_a, _qrot(pq_a, LP_C)))
+            wq_d = _qmul(pq_b, LP_DQ)
+            wp_d = tuple(p + c for p, c in zip(pp_b, _qrot(pq_b, LP_DP)))
+            rel = tuple(c - wp for c, wp in zip(cw_p, wp_d))
+            loc = _qrot(_qconj(wq_d), rel)
+            pen = tuple(sz - jnp.abs(l) for sz, l in zip(LP_SZ, loc))
+            inside = (
+                (pen[0] > -slop) & (pen[1] > -slop) & (pen[2] > -slop)
+            ).astype(jnp.float32)
+            depth_p = jnp.minimum(jnp.minimum(pen[0], pen[1]), pen[2])
+            is_x = (pen[0] <= pen[1]) & (pen[0] <= pen[2])
+            is_y = (~is_x) & (pen[1] <= pen[2])
+            is_z = (~is_x) & (~is_y)
+            n_loc = (
+                jnp.where(is_x, jnp.sign(loc[0]), 0.0),
+                jnp.where(is_y, jnp.sign(loc[1]), 0.0),
+                jnp.where(is_z, jnp.sign(loc[2]), 0.0),
+            )
+            n_p = _qrot(wq_d, n_loc)
+            fmask_p = inside * diff_group * (depth_p > -slop).astype(jnp.float32)
+
+            point = tuple(
+                jnp.concatenate([f, p], axis=0) for f, p in zip(cw_f, cw_p)
+            )
+            normal = tuple(
+                jnp.concatenate([f, p], axis=0) for f, p in zip(n_f, n_p)
+            )
+            depth = jnp.concatenate([depth_f, depth_p], axis=0)
+            fmask = jnp.concatenate([fmask_f, fmask_p], axis=0)
+
+            # ---- solver prep (engine._solve_contacts) ----
+            gca = _matcat(OA, g_com)
+            gcb = _matcat(OBS, g_com)
+            r_a = tuple(p - g for p, g in zip(point, gca))
+            r_b = tuple(p - g for p, g in zip(point, gcb))
+
+            # tangent basis (engine._tangent_basis, smoothed unit of transforms)
+            use_z = jnp.abs(normal[2]) < 0.9
+            ref = (
+                jnp.where(use_z, 0.0, 1.0),
+                jnp.zeros_like(normal[0]),
+                jnp.where(use_z, 1.0, 0.0),
+            )
+            t1r = _cross(normal, ref)
+            t1n = jnp.sqrt(_dot3(t1r, t1r) + 1e-24)
+            t1 = tuple(c / t1n for c in t1r)
+            t2 = _cross(normal, t1)
+            dirs = (normal, t1, t2)
+
+            inv_m_a = _matcat(OA, (inv_gm,))[0]
+            inv_m_b = _matcat(OB, (inv_gm,))[0]
+            iflat = [invI[i][j] for i in range(3) for j in range(3)]
+            iA = _matcat(OA, iflat)
+            iB = _matcat(OB, iflat)
+
+            def quad(rxd, I9):
+                # rxd^T I rxd with I row-major 9-tuple
+                t0 = I9[0] * rxd[0] + I9[1] * rxd[1] + I9[2] * rxd[2]
+                t1_ = I9[3] * rxd[0] + I9[4] * rxd[1] + I9[5] * rxd[2]
+                t2_ = I9[6] * rxd[0] + I9[7] * rxd[1] + I9[8] * rxd[2]
+                return rxd[0] * t0 + rxd[1] * t1_ + rxd[2] * t2_
+
+            inv_w = []
+            for dvec in dirs:
+                rxd_a = _cross(r_a, dvec)
+                rxd_b = _cross(r_b, dvec)
+                wd = inv_m_a + inv_m_b + quad(rxd_a, iA) + quad(rxd_b, iB)
+                inv_w.append(1.0 / jnp.maximum(wd, 1e-8))
+
+            bias = -jnp.minimum(
+                (baum / dt) * jnp.maximum(depth - slop, 0.0), 0.5
+            )
+
+            # mass-splitting lane scale via static-part counts + group spread
+            s_a = _matcat(OAT, (fmask,))[0]                              # [P,Bb]
+            s_b = _matcat(OBT, (fmask,))[0]
+            cnt_p = spread_sum((s_a + s_b,))[0]
+            n_a = _matcat(OA, (cnt_p,))[0]
+            n_b = _matcat(OB, (cnt_p,))[0]
+            lane_scale = relax / jnp.maximum(jnp.maximum(n_a, n_b), 1.0)
+
+            def apply(lam):
+                imp = tuple(
+                    (lam[0] * dirs[0][c] + lam[1] * dirs[1][c] + lam[2] * dirs[2][c])
+                    * fmask
+                    for c in range(3)
+                )
+                tq_a = _cross(r_a, imp)
+                tq_b = _cross(r_b, tuple(-i for i in imp))
+                sa = _matcat(OAT, imp + tq_a)                            # 6x[P,Bb]
+                sb = _matcat(OBT, tuple(-i for i in imp) + tq_b)
+                dlin_s = tuple(sa[c] + sb[c] for c in range(3))
+                angacc_s = tuple(sa[3 + c] + sb[3 + c] for c in range(3))
+                dlin_g = spread_sum(dlin_s)
+                angacc_g = spread_sum(angacc_s)
+                lv = tuple(l + dg * inv_gm for l, dg in zip(lin, dlin_g))
+                av = tuple(
+                    a
+                    + invI[i][0] * angacc_g[0]
+                    + invI[i][1] * angacc_g[1]
+                    + invI[i][2] * angacc_g[2]
+                    for i, a in enumerate(ang)
+                )
+                return lv, av
+
+            def it_body(_, lam):
+                lv, av = apply(lam)
+                ga6 = _matcat(OA, lv + av)
+                gb6 = _matcat(OB, lv + av)
+                va = tuple(
+                    ga6[c] + cr for c, cr in enumerate(_cross(ga6[3:], r_a))
+                )
+                vb = tuple(
+                    gb6[c] + cr for c, cr in enumerate(_cross(gb6[3:], r_b))
+                )
+                v_rel = tuple(a - b for a, b in zip(va, vb))
+                vd0 = _dot3(v_rel, dirs[0])
+                vd1 = _dot3(v_rel, dirs[1])
+                vd2 = _dot3(v_rel, dirs[2])
+                l0 = lam[0] - (vd0 + bias) * inv_w[0] * lane_scale
+                l1 = lam[1] - vd1 * inv_w[1] * lane_scale
+                l2 = lam[2] - vd2 * inv_w[2] * lane_scale
+                ln = jnp.maximum(l0, 0.0)
+                mf = FRIC * ln
+                return (ln, jnp.clip(l1, -mf, mf), jnp.clip(l2, -mf, mf))
+
+            z = jnp.zeros((K, Bb), jnp.float32)
+            lam = jax.lax.fori_loop(0, iters, it_body, (z, z, z))
+            lv, av = apply(lam)
+            lv = tuple(jnp.clip(c, -maxv, maxv) for c in lv)
+            av = tuple(jnp.clip(c, -maxv, maxv) for c in av)
+
+            # ---- integrate (engine._integrate) ----
+            angle = jnp.sqrt(_dot3(av, av) + 1e-18)
+            axis = tuple(c / angle for c in av)
+            an = jnp.sqrt(_dot3(axis, axis) + 1e-24)  # transforms.unit smoothing
+            axis = tuple(c / an for c in axis)
+            half = angle * (dt * 0.5)
+            sh = jnp.sin(half)
+            dq = (jnp.cos(half), sh * axis[0], sh * axis[1], sh * axis[2])
+            rel = tuple(p - g for p, g in zip(pos, g_com))
+            rot_rel = _qrot(dq, rel)
+            new_pos = tuple(
+                g + rr + v * dt for g, rr, v in zip(g_com, rot_rel, lv)
+            )
+            nq = _qmul(dq, quat)
+            qn = jnp.maximum(
+                jnp.sqrt(nq[0] * nq[0] + nq[1] * nq[1] + nq[2] * nq[2] + nq[3] * nq[3]),
+                1e-12,
+            )
+            new_quat = tuple(c / qn for c in nq)
+
+            # ---- floor projection (engine._floor_projection) ----
+            pq2 = _matcat(OAf, new_quat)
+            pp2 = _matcat(OAf, new_pos)
+            cz = pp2[2] + _qrot(pq2, LF_C)[2]
+            d2f = -cz
+            pen = jnp.maximum(
+                jnp.where(d2f > -slop, d2f - slop, 0.0), 0.0
+            )                                                            # [Kf,Bb]
+            per_part = jnp.concatenate(
+                [
+                    jnp.max(jnp.where(FMP[p] > 0, pen, 0.0), axis=0, keepdims=True)
+                    for p in range(P)
+                ],
+                axis=0,
+            )                                                            # [P,Bb]
+            per_group = jnp.max(member * per_part[None, :, :], axis=1)
+            new_pos = (new_pos[0], new_pos[1], new_pos[2] + per_group)
+
+            return (new_pos, new_quat, lv, av)
+
+        out = jax.lax.fori_loop(0, n, substep, (pos0, quat0, lin0, ang0))
+        pos, quat, lin, ang = out
+        y_ref[:] = jnp.concatenate(pos + quat + lin + ang, axis=0)
+
+    # -- host wrapper ----------------------------------------------------------
+
+    def _consts(self):
+        """Packed constant tables passed as kernel inputs (cached)."""
+        if not hasattr(self, "_const_arrays"):
+            P = self.P
+            pc = np.zeros((P, 13), np.float32)
+            pc[:, 0] = self.mass
+            pc[:, 1:4] = self.com_l
+            pc[:, 4:13] = self.inertia_l.reshape(P, 9)
+            lpc = np.concatenate(
+                [self.lp_corner, self.lp_dst_pos, self.lp_dst_quat, self.lp_dst_size],
+                axis=1,
+            ).astype(np.float32)                                        # [Kp,13]
+            # cached as NUMPY: converting at each call keeps the jnp
+            # constants inside the caller's trace (device arrays created in
+            # one jit trace leak into later traces otherwise)
+            self._const_arrays = (
+                pc,
+                self.OA,
+                self.OBS,
+                self.OB,
+                self.OA.T.copy(),
+                self.OB.T.copy(),
+                self.lane_fric[:, None].copy(),
+                self.lf_corner,
+                self.OAf,
+                self.floor_mask_p.T.copy(),                              # [Kf,P]
+                lpc,
+                self.OAp,
+                self.OBp,
+            )
+        return tuple(jnp.asarray(a) for a in self._const_arrays)
+
+    def _get_call(self, n: int, B: int, Bb: int):
+        key = (n, B, Bb)
+        if key in self._compiled:
+            return self._compiled[key]
+        P = self.P
+        grid = (B // Bb,)
+        kernel = functools.partial(self._kernel_body, n=n)
+        const_specs = [
+            pl.BlockSpec(a.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for a in self._consts()
+        ]
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((13 * P, B), jnp.float32),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((15 * P, Bb), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ]
+            + const_specs,
+            out_specs=pl.BlockSpec(
+                (13 * P, Bb), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=self.interpret,
+        )
+        self._compiled[key] = call
+        return call
+
+    def substeps(self, parts: PartState, group, gravity_scale, n: int) -> PartState:
+        """Run ``n`` substeps for a batch (leading dim B) of environments."""
+        B0, P = parts.pos.shape[0], self.P
+        # lane dim wants >=128 on real TPUs; interpret mode prefers small
+        min_b = 8 if self.interpret else 128
+        Bb = min(self.block, max(B0, min_b))
+        B = int(np.ceil(B0 / Bb) * Bb)
+
+        def tx(a, c):  # [B0,P,c] -> [c*P, B]
+            a = jnp.transpose(a, (2, 1, 0)).reshape(c * P, B0)
+            return a
+
+        x = jnp.concatenate(
+            [
+                tx(parts.pos, 3),
+                tx(parts.quat, 4),
+                tx(parts.lin_vel, 3),
+                tx(parts.ang_vel, 3),
+                group.astype(jnp.float32).T,
+                gravity_scale.astype(jnp.float32).T,
+            ],
+            axis=0,
+        )
+        if B != B0:
+            x = jnp.pad(x, ((0, 0), (0, B - B0)), mode="edge")
+        y = self._get_call(n, B, Bb)(x, *self._consts())
+        if B != B0:
+            y = y[:, :B0]
+
+        def rx(rows, c):  # [c*P, B0] -> [B0,P,c]
+            return jnp.transpose(rows.reshape(c, P, B0), (2, 1, 0))
+
+        return PartState(
+            pos=rx(y[0 : 3 * P], 3),
+            quat=rx(y[3 * P : 7 * P], 4),
+            lin_vel=rx(y[7 * P : 10 * P], 3),
+            ang_vel=rx(y[10 * P : 13 * P], 3),
+        )
