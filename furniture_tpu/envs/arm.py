@@ -320,11 +320,15 @@ class ArmEnv:
         r = self.robot
         n_sub = cfg.n_substeps
 
+        # per-arm action width: ik = [dpos3, deuler3]; ik_quaternion =
+        # [dpos3, dquat4] (env/furniture.py:3000-3010, wxyz delta quat
+        # right-multiplied onto the current hand quat via _make_input :1332)
+        aw = 7 if self.control_type == "ik_quaternion" else 6
         new_tpos = []
         new_hqi = []
         q_cmd = state.qpos
         for i, arm in enumerate(self.arms):
-            a = action[6 * i : 6 * i + 6]
+            a = action[aw * i : aw * i + aw]
             # action deltas are world-frame. (The reference's axis swap at
             # :2914 converts world→robot-base frame for its base-frame bullet
             # IK target; composed with the base rotation Rz(-90°) it is the
@@ -337,19 +341,29 @@ class ArmEnv:
                 jnp.asarray(_MIN_GRIPPER_POS, jnp.float32) - hand_pos,
                 jnp.asarray(_MAX_GRIPPER_POS, jnp.float32) - hand_pos,
             )
-            # rotation deltas are world-frame euler (left-multiplied). The
-            # reference right-multiplies through mixed wxyz/xyzw conventions
-            # (euler_to_quat at env/furniture.py:2917 on an xyzw quat read as
-            # wxyz); we keep one clean convention: action[3:5] rotate the
-            # hand about world x/y/z.
-            # the same 0.3 sensitivity low-pass as position — without it a
-            # ±1 rot action jumps the wrist target 22.5° in one control step,
-            # which flings grasped parts out of the friction grip
-            hqi = T.quat_mul(
-                T.euler_to_quat(0.3 * a[3:6] * cfg.rotate_speed),
-                state.hand_quat_init[i],
-            )
-            hqi = T.quat_normalize(hqi)
+            if self.control_type == "ik_quaternion":
+                # delta quaternion action (wxyz), right-multiplied onto the
+                # current hand quat (env/furniture.py:3010,1332-1342);
+                # normalize so arbitrary action vectors are valid rotations
+                dq_in = T.quat_normalize(a[3:7])
+                # keep w >= 0 (shortest arc) so random-action quats do not
+                # command near-360° targets
+                dq_in = jnp.where(dq_in[0] < 0, -dq_in, dq_in)
+                hqi = T.quat_normalize(T.quat_mul(hand_quat, dq_in))
+            else:
+                # rotation deltas are world-frame euler (left-multiplied). The
+                # reference right-multiplies through mixed wxyz/xyzw
+                # conventions (euler_to_quat at env/furniture.py:2917 on an
+                # xyzw quat read as wxyz); we keep one clean convention:
+                # action[3:5] rotate the hand about world x/y/z.
+                # the same 0.3 sensitivity low-pass as position — without it
+                # a ±1 rot action jumps the wrist target 22.5° in one control
+                # step, which flings grasped parts out of the friction grip
+                hqi = T.quat_mul(
+                    T.euler_to_quat(0.3 * a[3:6] * cfg.rotate_speed),
+                    state.hand_quat_init[i],
+                )
+                hqi = T.quat_normalize(hqi)
             # anti-windup: keep the orientation target within 45° of the
             # actual hand; an unbounded target makes the arm lurch (and fling
             # grasped parts) when the IK finally finds a path to it
@@ -378,9 +392,10 @@ class ArmEnv:
             ik_target_pos=jnp.stack(new_tpos), hand_quat_init=jnp.stack(new_hqi)
         )
 
-        # gripper scalars (reassembled action layout, env/furniture.py:2919-2959)
+        # gripper scalars follow the per-arm blocks (env/furniture.py:
+        # 2919-2959 for ik, :3012-3015 for ik_quaternion)
         grip = {
-            arm: action[6 * self.n_arms + i] for i, arm in enumerate(self.arms)
+            arm: action[aw * self.n_arms + i] for i, arm in enumerate(self.arms)
         }
 
         # ×action_repeat closed-loop repeats (env/furniture.py:2978-2996):

@@ -228,3 +228,65 @@ def test_arm_instability_guard():
     assert float(rew) < 0
     for leaf in jax.tree.leaves((s2, obs)):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("agent", ["Sawyer", "Baxter"])
+@pytest.mark.parametrize(
+    "control_type",
+    [
+        "ik",
+        "ik_quaternion",
+        "impedance",
+        "torque",
+        "position_orientation",
+        "position",
+        "joint_impedance",
+        "joint_velocity",
+        "joint_torque",
+    ],
+)
+def test_every_control_type_steps(agent, control_type):
+    """Every declared control mode steps with a full-range action and keeps
+    the state finite (reference modes: env/furniture.py:2899-3094; the
+    ik_quaternion layout is 7 dims/arm + grippers, :3000-3015)."""
+    env = ArmEnv(
+        EnvConfig(agent_type=agent, control_type=control_type, sim=FAST_SIM)
+    )
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    a = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, env.dof), jnp.float32
+    )
+    s2, obs, rew, done, info = step(s, a)
+    for leaf in jax.tree.leaves((s2, obs, rew)):
+        assert np.isfinite(np.asarray(leaf, np.float32)).all()
+    assert not bool(info["unstable"])
+
+
+def test_ik_quaternion_tracks_rotation():
+    """A pure-rotation quaternion action must rotate the hand toward the
+    commanded delta (right-multiplied, env/furniture.py:3010,1332-1342) and
+    the gripper index must address the slot after the 7-dim arm blocks."""
+    from furniture_tpu import transforms as T
+
+    env = ArmEnv(
+        EnvConfig(agent_type="Sawyer", control_type="ik_quaternion", sim=FAST_SIM)
+    )
+    assert env.dof == 7 + 1 + 1
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    fk0 = K.fk(env.robot, s.qpos)
+    _, hq0 = K.eef_pose(env.robot, fk0, "right")
+
+    # ~11° about world z of the hand frame (right-multiplied delta)
+    dq = jnp.array([np.cos(0.1), 0.0, 0.0, np.sin(0.1)], jnp.float32)
+    a = jnp.zeros(env.dof).at[3:7].set(dq)
+    step = jax.jit(env.step)
+    s2 = s
+    for _ in range(5):
+        s2, *_ = step(s2, a)
+    fk1 = K.fk(env.robot, s2.qpos)
+    _, hq1 = K.eef_pose(env.robot, fk1, "right")
+    # angle moved toward the accumulated target
+    d = T.quat_mul(hq1, T.quat_inv(hq0))
+    ang = 2 * np.arccos(min(1.0, abs(float(d[0]))))
+    assert ang > 0.05, f"hand only rotated {ang:.3f} rad"
