@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Throughput benchmark on one TPU chip vs the reference's published numbers.
+"""Throughput + MPC benchmark on one TPU chip vs the reference's numbers.
 
 Reference baselines (``docs/more_info.md:35``, BASELINE.md; Xeon 6154 +
 2080 Ti, no rendering):
@@ -8,13 +8,22 @@ Reference baselines (``docs/more_info.md:35``, BASELINE.md; Xeon 6154 +
 Each env step does the same work per step as the reference's ``fps.py``
 loop: 50 physics substeps with contact solving (plus x3 action-repeat IK
 resolve for the IK mode), the connect state machine, and observation
-assembly — but batched over thousands of environments per chip.
+assembly — but batched over thousands of environments per chip. The cursor
+benchmark routes through the whole-control-step Pallas megakernel
+(``physics/megakernel.py``) via ``CursorEnv.step_batch``.
 
-Prints ONE JSON line (the headline cursor metric) on stdout; the arm-agent
-numbers go to stderr as secondary diagnostics.
+MPC metrics (BASELINE.md "Targets"): solves/s for a 64-step-horizon MPPI
+plan iteration on table_lack (256 sample rollouts × 64 env steps each,
+megakernel-batched), and an iLQR plan on the differentiable physics.
+Real-time at control_freq=10 means ≥10 solves/s.
+
+Prints ONE JSON line (the headline cursor metric) on stdout; all other
+metrics go to stderr as secondary diagnostics. Timings are medians over
+``reps`` repetitions (the TPU tunnel has high run-to-run variance).
 """
 
 import json
+import statistics
 import sys
 import time
 
@@ -29,10 +38,47 @@ BASELINES = {
     "cursor": 491.0,           # docs/more_info.md:35 (Cursor, no render)
     "sawyer_impedance": 225.0,  # docs/more_info.md:35
     "sawyer_ik": 44.0,          # docs/more_info.md:35
+    # reference MPC baseline does not exist (the reference has no planner);
+    # vs_baseline for MPC metrics is vs real-time at control_freq=10.
+    "mppi": 10.0,
+    "ilqr": 10.0,
 }
 
 
-def throughput(env, batch: int, horizon: int = 10, reps: int = 3) -> float:
+def _sync(out):
+    """Force real device synchronization.
+
+    ``block_until_ready`` alone is not a reliable barrier on the tunneled
+    TPU platform (calls can complete "ready" while execution is still
+    queued); a scalar device→host transfer of a value data-dependent on the
+    result is. Reduce one leaf and fetch it."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
+def _median_time(fn, args, reps: int, evolve=None) -> float:
+    """Median wall time of ``fn(*args)`` over ``reps`` runs (post-warmup).
+
+    ``evolve(args, out, i) -> args`` MUST make each repetition's inputs
+    distinct — the TPU tunnel memoizes identical (executable, inputs) calls,
+    so re-timing the same call measures the cache, not the chip."""
+    out = fn(*args)
+    _sync(out)
+    ts = []
+    for i in range(reps):
+        args = evolve(args, out, i) if evolve else args
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
+
+
+def throughput(env, batch: int, horizon: int = 10, reps: int = 5) -> float:
+    batched = getattr(env, "has_batch_api", False)
+    step = env.step_batch if batched else jax.vmap(env.step)
+    reset = env.reset_batch if batched else jax.vmap(env.reset)
+
     @jax.jit
     def rollout(states, key):
         def body(carry, _):
@@ -41,61 +87,132 @@ def throughput(env, batch: int, horizon: int = 10, reps: int = 3) -> float:
             actions = jax.random.uniform(
                 k_act, (batch, env.dof), minval=-1.0, maxval=1.0
             )
-            states, obs, rew, done, info = jax.vmap(env.step)(states, actions)
+            states, obs, rew, done, info = step(states, actions)
             return (states, key), rew
 
         (states, _), rews = jax.lax.scan(body, (states, key), None, length=horizon)
         return states, rews.sum()
 
     key = jax.random.PRNGKey(0)
-    states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, batch))
-    out, _ = rollout(states, key)  # warmup / compile
-    jax.tree.map(jax.block_until_ready, out)
+    states = jax.jit(reset)(jax.random.split(key, batch))
+    dt = _median_time(
+        rollout,
+        (states, key),
+        reps,
+        # feed the rolled-out states back in; fresh key per rep
+        evolve=lambda args, out, i: (out[0], jax.random.fold_in(args[1], i)),
+    )
+    return batch * horizon / dt
 
-    t0 = time.perf_counter()
-    for i in range(reps):
-        out, s = rollout(out, jax.random.fold_in(key, i))
-    jax.tree.map(jax.block_until_ready, out)
-    dt = time.perf_counter() - t0
-    return batch * horizon * reps / dt
+
+def bench_mppi(reps: int = 5) -> float:
+    """MPPI plan-iterations/s: 64-step horizon, 256 sample rollouts on
+    table_lack (BASELINE.md: "64-step MPC on table_lack"). One solve = one
+    full plan iteration = 16384 megakernel env steps + weight update."""
+    from furniture_tpu.planning import MPPIConfig, make_mppi
+
+    env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
+    cfg = MPPIConfig(horizon=64, n_samples=256, sigma=0.3)
+    plan = jax.jit(make_mppi(env, cfg))
+    state = env.reset(jax.random.PRNGKey(0))
+    mean = jnp.zeros((cfg.horizon, env.dof))
+    dt = _median_time(
+        plan,
+        (state, mean, jax.random.PRNGKey(1)),
+        reps,
+        # receding-horizon realism: warm-start from the previous plan's mean
+        evolve=lambda args, out, i: (args[0], out[0], jax.random.fold_in(args[2], i)),
+    )
+    return 1.0 / dt
+
+
+def bench_ilqr(reps: int = 3) -> float:
+    """iLQR solves/s: 64-step horizon on the differentiable cursor physics
+    (10 substeps per planner step — the standard coarsened planning model —
+    5 Newton iterations, 5-point parallel line search). One solve = a full
+    ``plan`` call."""
+    from furniture_tpu.planning import (
+        ILQRConfig,
+        flatten_env_dynamics,
+        make_ilqr,
+    )
+
+    env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
+    state = env.reset(jax.random.PRNGKey(0))
+    f, x0, unravel = flatten_env_dynamics(env, state, substeps=10)
+    n = x0.shape[0]
+    target = x0 + 0.01
+
+    def running_cost(x, u, t):
+        return 0.5 * jnp.sum((x - target) ** 2) + 0.05 * jnp.sum(u**2)
+
+    def terminal_cost(x):
+        return 5.0 * jnp.sum((x - target) ** 2)
+
+    cfg = ILQRConfig(horizon=64, iterations=5)
+    plan = jax.jit(make_ilqr(f, running_cost, terminal_cost, cfg))
+    u0 = jnp.zeros((cfg.horizon, env.dof))
+    dt = _median_time(
+        plan,
+        (x0, u0),
+        reps,
+        evolve=lambda args, out, i: (args[0] + 1e-4 * (i + 1), out[0]),
+    )
+    return 1.0 / dt
+
+
+def emit(name: str, value: float, unit: str, baseline: float, out=sys.stderr):
+    print(
+        json.dumps(
+            {
+                "metric": name,
+                "value": round(value, 1),
+                "unit": unit,
+                "vs_baseline": round(value / baseline, 2),
+            }
+        ),
+        file=out,
+        flush=True,
+    )
 
 
 def main():
     results = {}
 
     env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
-    results["cursor"] = throughput(env, batch=2048, horizon=20)
+    results["cursor"] = throughput(env, batch=4096, horizon=20)
 
-    env = ArmEnv(
-        EnvConfig(agent_type="Sawyer", control_type="impedance")
-    )
-    results["sawyer_impedance"] = throughput(env, batch=512)
+    env = ArmEnv(EnvConfig(agent_type="Sawyer", control_type="impedance"))
+    results["sawyer_impedance"] = throughput(env, batch=512, reps=3)
 
     env = ArmEnv(EnvConfig(agent_type="Sawyer", control_type="ik"))
-    results["sawyer_ik"] = throughput(env, batch=256)
+    results["sawyer_ik"] = throughput(env, batch=256, reps=3)
+
+    results["mppi"] = bench_mppi()
+    results["ilqr"] = bench_ilqr()
 
     for name in ("sawyer_impedance", "sawyer_ik"):
-        print(
-            json.dumps(
-                {
-                    "metric": f"{name}_env_steps_per_s_per_chip",
-                    "value": round(results[name], 1),
-                    "unit": "env_steps/s",
-                    "vs_baseline": round(results[name] / BASELINES[name], 2),
-                }
-            ),
-            file=sys.stderr,
+        emit(
+            f"{name}_env_steps_per_s_per_chip",
+            results[name],
+            "env_steps/s",
+            BASELINES[name],
         )
+    emit(
+        "mppi_mpc_solves_per_s_h64_s256", results["mppi"], "solves/s",
+        BASELINES["mppi"],
+    )
+    emit(
+        "ilqr_mpc_solves_per_s_h64", results["ilqr"], "solves/s",
+        BASELINES["ilqr"],
+    )
 
-    print(
-        json.dumps(
-            {
-                "metric": "cursor_env_steps_per_s_per_chip",
-                "value": round(results["cursor"], 1),
-                "unit": "env_steps/s",
-                "vs_baseline": round(results["cursor"] / BASELINES["cursor"], 2),
-            }
-        )
+    emit(
+        "cursor_env_steps_per_s_per_chip",
+        results["cursor"],
+        "env_steps/s",
+        BASELINES["cursor"],
+        out=sys.stdout,
     )
 
 

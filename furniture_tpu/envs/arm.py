@@ -683,7 +683,9 @@ class ArmEnv:
         unstable = unstable | jnp.any(jnp.stack(leaves_bad))
         state = jax.tree.map(
             lambda x: (
-                jnp.where(unstable, jnp.nan_to_num(x), x)
+                # bounded projection: ±inf must not become ±3.4e38 in the
+                # terminal obs/reward (MPPI rollouts consume stepped values)
+                jnp.where(unstable, jnp.nan_to_num(x, posinf=0.0, neginf=0.0), x)
                 if jnp.issubdtype(x.dtype, jnp.floating)
                 else x
             ),

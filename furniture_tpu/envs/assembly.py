@@ -437,8 +437,14 @@ def instability_guard(parts, pos_bound: float = 10.0):
     ) | jnp.any(jnp.abs(parts.pos) > pos_bound)
 
     def sanitize(p):
-        pos = jnp.clip(jnp.nan_to_num(p.pos), -pos_bound, pos_bound)
-        quat = jnp.nan_to_num(p.quat)
+        pos = jnp.clip(
+            jnp.nan_to_num(p.pos, posinf=pos_bound, neginf=-pos_bound),
+            -pos_bound,
+            pos_bound,
+        )
+        # bound inf components so the norm below cannot overflow (an inf
+        # component mapped to finfo.max would yield an all-zero quat)
+        quat = jnp.nan_to_num(p.quat, posinf=0.0, neginf=0.0)
         norm = jnp.linalg.norm(quat, axis=-1, keepdims=True)
         unit = jnp.zeros_like(quat).at[..., 0].set(1.0)
         quat = jnp.where(norm > 1e-6, quat / jnp.maximum(norm, 1e-6), unit)

@@ -64,28 +64,47 @@ def assembly_cost(env):
 
 
 def make_mppi(env, cfg: MPPIConfig, cost_fn=None):
-    """Single-device MPPI plan step: (state, mean[H,dof], key) -> (mean, info)."""
+    """Single-device MPPI plan step: (state, mean[H,dof], key) -> (mean, info).
+
+    When the env exposes the batched step API (``has_batch_api``), the sample
+    rollouts route through ``env.step_batch`` — the sample axis IS the batch
+    axis, so the whole-control-step Pallas megakernel carries the planner's
+    inner loop (SURVEY.md §7.7: rollouts = vmap(step) over samples×horizon).
+    """
     cost_fn = cost_fn or assembly_cost(env)
     H, S, dof = cfg.horizon, cfg.n_samples, env.dof
+    batched = getattr(env, "has_batch_api", False)
 
-    def rollout_return(state, actions):
-        """Total cost of one action sequence from ``state``. [H,dof] -> scalar."""
+    def rollout_costs(state, samples):
+        """Total cost of each action sequence from ``state``. [S,H,dof] -> [S]."""
+        states0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (S,) + x.shape), state
+        )
 
-        def body(carry, a):
-            st, total, disc = carry
-            st, _, rew, _, _ = env.step(st, a)
-            total = total + disc * (cost_fn(st) - rew)
-            return (st, total, disc * cfg.gamma), None
+        if batched:
+            def body(carry, a):
+                sts, total, disc = carry
+                sts, _, rew, _, _ = env.step_batch(sts, a)
+                total = total + disc * (jax.vmap(cost_fn)(sts) - rew)
+                return (sts, total, disc * cfg.gamma), None
+        else:
+            def body(carry, a):
+                sts, total, disc = carry
+                sts, _, rew, _, _ = jax.vmap(env.step)(sts, a)
+                total = total + disc * (jax.vmap(cost_fn)(sts) - rew)
+                return (sts, total, disc * cfg.gamma), None
 
         (_, total, _), _ = jax.lax.scan(
-            body, (state, jnp.float32(0.0), jnp.float32(1.0)), actions
+            body,
+            (states0, jnp.zeros(S, jnp.float32), jnp.float32(1.0)),
+            jnp.swapaxes(samples, 0, 1),                     # scan over H
         )
         return total
 
     def plan(state, mean, key):
         noise = jax.random.normal(key, (S, H, dof)) * cfg.sigma
         samples = jnp.clip(mean[None] + noise, -1.0, 1.0)
-        costs = jax.vmap(lambda a: rollout_return(state, a))(samples)  # [S]
+        costs = rollout_costs(state, samples)                # [S]
         w = jax.nn.softmax(-costs / cfg.temperature)
         new_mean = jnp.einsum("s,shd->hd", w, samples)
         info = {"best_cost": jnp.min(costs), "mean_cost": jnp.mean(costs)}
