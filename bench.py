@@ -130,7 +130,12 @@ def bench_ilqr(reps: int = 3) -> float:
     """iLQR solves/s: 64-step horizon on the differentiable cursor physics
     (10 substeps per planner step — the standard coarsened planning model —
     5 Newton iterations, 5-point parallel line search). One solve = a full
-    ``plan`` call."""
+    ``plan`` call.
+
+    The planned problem is real manipulation: cursor 0 holds part 0 (so
+    B = ∂f/∂u ≠ 0 through the rigid-group co-move) and the cost drives the
+    held part to a pose target 18 cm away; ``tests/test_ilqr.py`` asserts
+    the same setup beats the zero-control rollout."""
     from furniture_tpu.planning import (
         ILQRConfig,
         flatten_env_dynamics,
@@ -139,15 +144,22 @@ def bench_ilqr(reps: int = 3) -> float:
 
     env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
     state = env.reset(jax.random.PRNGKey(0))
+    state = state._replace(
+        cursor_pos=state.cursor_pos.at[0].set(state.parts.pos[0]),
+        selected=state.selected.at[0].set(0),
+    )
     f, x0, unravel = flatten_env_dynamics(env, state, substeps=10)
-    n = x0.shape[0]
-    target = x0 + 0.01
+    target = unravel(x0)["pos"][0] + jnp.array([0.12, 0.1, 0.08])
 
     def running_cost(x, u, t):
-        return 0.5 * jnp.sum((x - target) ** 2) + 0.05 * jnp.sum(u**2)
+        c = unravel(x)
+        return 10.0 * jnp.sum((c["pos"][0] - target) ** 2) + 0.05 * jnp.sum(
+            u**2
+        )
 
     def terminal_cost(x):
-        return 5.0 * jnp.sum((x - target) ** 2)
+        c = unravel(x)
+        return 100.0 * jnp.sum((c["pos"][0] - target) ** 2)
 
     cfg = ILQRConfig(horizon=64, iterations=5)
     plan = jax.jit(make_ilqr(f, running_cost, terminal_cost, cfg))

@@ -53,6 +53,13 @@ class SimConfig:
     use_pallas: str = "auto"
     # environments per megakernel grid program (lane-dimension block)
     mega_block: int = 256
+    # arm megakernel block (more lanes/state per env → smaller block fits VMEM)
+    arm_mega_block: int = 128
+    # two-way gripper↔part contact coupling: contact impulses on robot geoms
+    # return as Jᵀλ joint-space impulses so grasped part weight loads the arm
+    # (MuJoCo native behavior; the reference steps these contacts two-way in
+    # mj_step, env/furniture.py:2877-2879)
+    robot_coupling: bool = True
 
 
 @dataclass(frozen=True)

@@ -114,7 +114,14 @@ class ArmState(NamedTuple):
 
 class ArmEnv:
     """Host-side factory for pure reset/step functions of one (agent,
-    furniture, control_type) combination. jit/vmap from the caller."""
+    furniture, control_type) combination. jit/vmap from the caller.
+
+    ``step_batch``/``reset_batch`` are the preferred batched entry points:
+    same semantics as ``vmap(step)``/``vmap(reset)``, but the whole control
+    step (FK + robot contacts + joint dynamics + part physics) routes through
+    the arm Pallas megakernel on TPU (``physics/arm_megakernel.py``)."""
+
+    has_batch_api = True
 
     def __init__(self, config: EnvConfig | None = None, model: CompiledModel | None = None):
         self.config = config or EnvConfig(agent_type="Sawyer")
@@ -181,6 +188,29 @@ class ArmEnv:
 
         self._ctrl_cfg = load_controller_config()
 
+        # static lane→joint ancestry for the JᵀF coupling feedback
+        self._lane_anc = (
+            self.robot.ancestor[self.robot.geom_body[lane_rg]].astype(np.float32)
+            if len(lane_rg)
+            else np.zeros((0, self.robot.nj), np.float32)
+        )
+
+        # batched TPU production path: the whole-control-step arm megakernel
+        mode = cfg.sim.use_pallas
+        on_tpu = jax.default_backend() == "tpu"
+        use_mega = (mode == "auto" and on_tpu) or mode == "on"
+        self._mega = None
+        if use_mega and len(self.tables["_robot_pairs"]) and len(self.tables["_pairs"]):
+            from ..physics.arm_megakernel import ArmMegaPhysics
+
+            self._mega = ArmMegaPhysics(
+                self.tables,
+                self.robot,
+                cfg.sim,
+                block=cfg.sim.arm_mega_block,
+                interpret=not on_tpu,
+            )
+
     # -- low-level control ---------------------------------------------------
 
     def _format_ctrl(self, arm_ctrl, gripper_scalars):
@@ -213,33 +243,30 @@ class ArmEnv:
 
     def _sim_substeps(self, state: ArmState, ctrl, tau_extra, n: int) -> ArmState:
         """n coupled substeps: arm joint dynamics + part physics with the
-        gripper as kinematic collider (``_do_simulation``,
-        ``env/furniture.py:2857-2887`` — arm agents do NOT stop parts).
+        gripper as kinematic collider in the part solver and (with
+        ``sim.robot_coupling``) contact impulses fed back as Jᵀλ joint-space
+        impulses (``_do_simulation``, ``env/furniture.py:2857-2887`` — MuJoCo
+        steps these contacts two-way; arm agents do NOT stop parts).
 
-        The joint-space inertia and per-geom Jacobians are computed once per
-        control step (the arm moves ≤ a few degrees per 0.05–0.1 s with
-        bias-compensated dynamics); only FK, actuator torques, and contacts
-        update per substep.
+        The joint-space inertia is frozen per control step (the arm moves ≤ a
+        few degrees per 0.05–0.1 s with bias-compensated dynamics) into the
+        precomputed update matrices G1/G2; FK, geom velocities, actuator
+        torques, and contacts update exactly per substep. This is the XLA
+        reference path; the TPU production path is the identical-math Pallas
+        megakernel (``physics/arm_megakernel.py``) behind ``step_batch``.
         """
         r = self.robot
         cfg = self.config.sim
+        couple = cfg.robot_coupling
 
-        fk0 = K.fk(r, state.qpos)
-        M = K.mass_matrix(r, fk0)
-        jv, jw, com_w = K.body_jacobians(r, fk0)     # [NB,3,NJ]
-        gb = r.geom_body
-        jv_g = jv[gb]                                # [NG,3,NJ] (body-COM linear)
-        jw_g = jw[gb]
-        gpos0, _ = K.geom_world(r, fk0)
-        r_cg = gpos0 - com_w[gb]                     # COM→geom lever arms
+        G1, G2 = K.joint_dyn_matrices(r, state.qpos, cfg.timestep)
+        anc_lane = jnp.asarray(self._lane_anc)
 
         def body(carry, _):
             qpos, qvel, parts = carry
             fk_out = K.fk(r, qpos)
             rg_pos, rg_quat = K.geom_world(r, fk_out)
-            w_g = jw_g @ qvel                        # [NG,3]
-            rg_vel = jv_g @ qvel + jnp.cross(w_g, r_cg)
-            rg_ang = w_g
+            rg_vel, rg_ang = K.geom_velocities(r, fk_out, qvel)
             extra = robot_contacts(
                 self.tables,
                 self.tables["robot_np"],
@@ -276,14 +303,27 @@ class ArmEnv:
                 ctrl_eff = ctrl_eff.at[grows].set(
                     jnp.where(deep, held, ctrl[grows])
                 )
-            tau, d_imp, k_imp = K.actuator_torques(r, qpos, qvel, ctrl_eff)
+            tau, _, _ = K.actuator_torques(r, qpos, qvel, ctrl_eff)
             if tau_extra is not None:
                 tau = tau + tau_extra
-            qpos2, qvel2 = K.integrate(
-                r, M, qpos, qvel, tau, d_imp, k_imp, cfg.timestep
-            )
-            parts2 = self.substep(
-                parts, state.group, jnp.ones(self._P), extra_contacts=extra
+            if couple:
+                parts2, lam_imp = self.substep(
+                    parts,
+                    state.group,
+                    jnp.ones(self._P),
+                    extra_contacts=extra,
+                    return_extra_impulses=True,
+                )
+                p_c = K.contact_impulses_to_joints(
+                    r, fk_out, extra.point, anc_lane, lam_imp
+                )
+            else:
+                parts2 = self.substep(
+                    parts, state.group, jnp.ones(self._P), extra_contacts=extra
+                )
+                p_c = jnp.zeros(r.nj)
+            qpos2, qvel2 = K.integrate_precomputed(
+                r, G1, G2, qpos, qvel, tau, p_c, cfg.timestep
             )
             return (qpos2, qvel2, parts2), extra.mask
 
@@ -314,11 +354,12 @@ class ArmEnv:
 
     # -- control-type dispatch -------------------------------------------------
 
-    def _ik_step(self, state: ArmState, action) -> ArmState:
-        """``_do_ik_step`` (``env/furniture.py:2899-2996``)."""
+    def _ik_prepare(self, state: ArmState, action):
+        """IK-target update + DLS IK solve (once per control step); returns
+        ``(state', q_cmd [NJ], grip [n_arms])`` — shared by the per-env and
+        batched paths (``_do_ik_step``, ``env/furniture.py:2899-2996``)."""
         cfg = self.config
         r = self.robot
-        n_sub = cfg.n_substeps
 
         # per-arm action width: ik = [dpos3, deuler3]; ik_quaternion =
         # [dpos3, dquat4] (env/furniture.py:3000-3010, wxyz delta quat
@@ -394,29 +435,43 @@ class ArmEnv:
 
         # gripper scalars follow the per-arm blocks (env/furniture.py:
         # 2919-2959 for ik, :3012-3015 for ik_quaternion)
-        grip = {
-            arm: action[aw * self.n_arms + i] for i, arm in enumerate(self.arms)
+        grip = jnp.stack(
+            [action[aw * self.n_arms + i] for i in range(self.n_arms)]
+        )
+        return state, q_cmd, grip
+
+    def _ik_ctrl(self, qpos, q_cmd, grip):
+        """Actuator controls for one IK action repeat: P-control joint
+        velocities toward the commanded positions, re-evaluated at the
+        current qpos (``env/furniture.py:2978-2996``)."""
+        r = self.robot
+        arm_ctrl = {
+            arm: ik_velocities(qpos, q_cmd, r.arm_joints[arm])
+            for arm in self.arms
         }
+        return self._format_ctrl(
+            arm_ctrl, {arm: grip[i] for i, arm in enumerate(self.arms)}
+        )
+
+    def _ik_step(self, state: ArmState, action) -> ArmState:
+        """``_do_ik_step`` (``env/furniture.py:2899-2996``)."""
+        cfg = self.config
+        state, q_cmd, grip = self._ik_prepare(state, action)
 
         # ×action_repeat closed-loop repeats (env/furniture.py:2978-2996):
         # velocities recomputed from the same commanded joint positions
         def repeat_body(st, _):
-            arm_ctrl = {
-                arm: ik_velocities(st.qpos, q_cmd, r.arm_joints[arm])
-                for arm in self.arms
-            }
-            ctrl = self._format_ctrl(arm_ctrl, grip)
-            return self._sim_substeps(st, ctrl, None, n_sub), None
+            ctrl = self._ik_ctrl(st.qpos, q_cmd, grip)
+            return self._sim_substeps(st, ctrl, None, cfg.n_substeps), None
 
         state, _ = jax.lax.scan(
             repeat_body, state, None, length=cfg.action_repeat
         )
         return state
 
-    def _direct_step(self, state: ArmState, action) -> ArmState:
-        """``impedance`` (velocity servos) / ``torque`` (motors) modes:
-        normalized action rescaled to ctrlranges, one control step
-        (``env/furniture.py:1268-1285``)."""
+    def _direct_ctrl(self, action):
+        """``impedance``/``torque`` actuator controls from a normalized
+        action (``env/furniture.py:1268-1285``)."""
         r = self.robot
         arm_ctrl = {}
         k = 0
@@ -428,14 +483,20 @@ class ArmEnv:
         for arm in self.arms:
             grip[arm] = action[k]
             k += self.gripper_action_dims[arm]
-        ctrl = self._format_ctrl(arm_ctrl, grip)
+        return self._format_ctrl(arm_ctrl, grip)
+
+    def _direct_step(self, state: ArmState, action) -> ArmState:
+        """``impedance`` (velocity servos) / ``torque`` (motors) modes:
+        normalized action rescaled to ctrlranges, one control step
+        (``env/furniture.py:1268-1285``)."""
+        ctrl = self._direct_ctrl(action)
         return self._sim_substeps(state, ctrl, None, self.config.n_substeps)
 
-    def _controller_step(self, state: ArmState, action) -> ArmState:
+    def _controller_prepare(self, state: ArmState, action):
         """New-controller modes (``_do_controller_step``,
-        ``env/furniture.py:3065-3094``): compute torques from the ported
-        arm_controller math, hold them for one control step. Gripper scalar
-        rides the same actuator path."""
+        ``env/furniture.py:3065-3094``): returns (ctrl, tau_extra) — torques
+        from the ported arm_controller math held for one control step, with
+        the gripper scalar riding the regular actuator path."""
         r = self.robot
         cfg = self.config
         ct = self.control_type
@@ -512,7 +573,11 @@ class ArmEnv:
             {arm: jnp.zeros(len(r.arm_actuators[arm])) for arm in self.arms},
             grip,
         )
+        return ctrl, tau_extra
+
+    def _controller_step(self, state: ArmState, action) -> ArmState:
         # motors get zero ctrl; controller torque enters via tau_extra
+        ctrl, tau_extra = self._controller_prepare(state, action)
         return self._sim_substeps(state, ctrl, tau_extra, self.config.n_substeps)
 
     # -- public API --------------------------------------------------------------
@@ -614,15 +679,15 @@ class ArmEnv:
         """Control dispatch + physics + connect machinery + post-connect
         snap-back; no reward. Shared by the sparse (``step``) and dense
         (``envs/sawyer_dense.py``) reward layers."""
-        connect = action[-1]
-
         if self.control_type in ("ik", "ik_quaternion"):
             state = self._ik_step(state, action)
         elif self.control_type in ("impedance", "torque"):
             state = self._direct_step(state, action[:-1])
         else:
             state = self._controller_step(state, action[:-1])
+        return self._connect_phase(state, action[-1])
 
+    def _connect_phase(self, state: ArmState, connect) -> ArmState:
         # connect attempt (env/furniture.py:1290-1330): first part touched by
         # both fingers of any arm
         both = jnp.any(state.touch_l & state.touch_r, axis=0)   # [P]
@@ -697,9 +762,14 @@ class ArmEnv:
     def step(self, state: ArmState, action):
         """One control step with the base sparse reward. Returns
         (state, obs, reward, done, info)."""
-        cfg = self.config
         prev_connected = state.num_connected
         state = self.step_physics(state, action)
+        return self._finish_step(state, action, prev_connected)
+
+    def _finish_step(self, state: ArmState, action, prev_connected):
+        """Instability guard + sparse reward + done/obs/info assembly
+        (shared by ``step`` and the batched ``step_batch``)."""
+        cfg = self.config
         state, unstable = self._guard(state)
 
         # sparse reward (env/furniture.py:482-541)
@@ -754,6 +824,69 @@ class ArmEnv:
             )
             > 0
         )
+
+    # -- batched API (arm megakernel production path) -------------------------
+
+    def reset_batch(self, keys) -> ArmState:
+        return jax.vmap(self.reset)(keys)
+
+    def _mega_substeps(self, states: ArmState, ctrl, tau_extra, n: int) -> ArmState:
+        """One control step of ``n`` coupled substeps for the whole batch via
+        the arm megakernel; per-control-step joint matrices from vmapped XLA."""
+        cfg = self.config.sim
+        B = ctrl.shape[0]
+        G1, G2 = jax.vmap(
+            lambda q: K.joint_dyn_matrices(self.robot, q, cfg.timestep)
+        )(states.qpos)
+        if tau_extra is None:
+            tau_extra = jnp.zeros((B, self.robot.nj))
+        gscale = jnp.ones((B, self._P))
+        parts, qp, qv, touch = self._mega.control_step(
+            states.parts,
+            states.group,
+            gscale,
+            states.qpos,
+            states.qvel,
+            ctrl,
+            tau_extra,
+            G1,
+            G2,
+            n,
+        )
+        touch = touch.reshape(B, self.n_arms, 2, self._P)
+        return states._replace(
+            parts=parts,
+            qpos=qp,
+            qvel=qv,
+            touch_l=touch[:, :, 0],
+            touch_r=touch[:, :, 1],
+        )
+
+    def _step_physics_batch(self, states: ArmState, actions) -> ArmState:
+        cfg = self.config
+        if self.control_type in ("ik", "ik_quaternion"):
+            states, q_cmd, grip = jax.vmap(self._ik_prepare)(states, actions)
+            for _ in range(cfg.action_repeat):
+                ctrl = jax.vmap(self._ik_ctrl)(states.qpos, q_cmd, grip)
+                states = self._mega_substeps(states, ctrl, None, cfg.n_substeps)
+        elif self.control_type in ("impedance", "torque"):
+            ctrl = jax.vmap(self._direct_ctrl)(actions[:, :-1])
+            states = self._mega_substeps(states, ctrl, None, cfg.n_substeps)
+        else:
+            ctrl, tau_extra = jax.vmap(self._controller_prepare)(
+                states, actions[:, :-1]
+            )
+            states = self._mega_substeps(states, ctrl, tau_extra, cfg.n_substeps)
+        return jax.vmap(self._connect_phase)(states, actions[:, -1])
+
+    def step_batch(self, states: ArmState, actions):
+        """Batched control step: same semantics as ``vmap(step)`` but with
+        the whole substep loop on-chip in one Pallas program per block."""
+        if self._mega is None:
+            return jax.vmap(self.step)(states, actions)
+        prev_connected = states.num_connected
+        states = self._step_physics_batch(states, actions)
+        return jax.vmap(self._finish_step)(states, actions, prev_connected)
 
 
 # -- agent-specific conveniences ------------------------------------------------

@@ -110,6 +110,7 @@ def _solve_contacts(
     relaxation: float,
     baumgarte: float,
     slop: float,
+    return_impulses: bool = False,
 ):
     """Impulse-accumulating Jacobi solve; returns updated group velocities.
 
@@ -211,7 +212,11 @@ def _solve_contacts(
         return jnp.concatenate([ln[:, None], lt], axis=-1)
 
     lam = jax.lax.fori_loop(0, iters, body, jnp.zeros((K, 3), jnp.float32))
-    return apply(lam)
+    lv, av = apply(lam)
+    if return_impulses:
+        imp = jnp.sum(lam[:, :, None] * dirs, axis=1) * fmask[:, None]  # [K,3]
+        return lv, av, imp
+    return lv, av
 
 
 def _integrate(state: PartState, member, g_com, dt):
@@ -262,7 +267,13 @@ def make_substep(model_np, cfg_sim):
     else:
         solver = _solve_contacts
 
-    def substep(state: PartState, group, gravity_scale, extra_contacts=None):
+    def substep(
+        state: PartState,
+        group,
+        gravity_scale,
+        extra_contacts=None,
+        return_extra_impulses=False,
+    ):
         member, g_com, g_inv_mass, g_inv_inertia = _group_aggregates(
             model_np, state, group
         )
@@ -274,10 +285,12 @@ def make_substep(model_np, cfg_sim):
             model_np, state.pos, state.quat, group, cfg_sim.contact_slop
         )
         contacts = concat_contacts(fc, pc)
+        n_base = contacts.depth.shape[0]
         if extra_contacts is not None:
             contacts = concat_contacts(contacts, extra_contacts)
 
-        lv, av = solver(
+        solve = _solve_contacts if return_extra_impulses else solver
+        out = solve(
             contacts,
             group,
             g_com,
@@ -290,7 +303,9 @@ def make_substep(model_np, cfg_sim):
             cfg_sim.relaxation,
             cfg_sim.baumgarte,
             cfg_sim.contact_slop,
+            **({"return_impulses": True} if return_extra_impulses else {}),
         )
+        lv, av = out[0], out[1]
         # safety velocity clamp (the reference catches MuJoCo instability
         # exceptions and resets, env/furniture.py:2889-2897; we bound energy
         # instead so lanes never NaN)
@@ -299,6 +314,8 @@ def make_substep(model_np, cfg_sim):
         state = state._replace(lin_vel=lv, ang_vel=av)
         state = _integrate(state, member, g_com, dt)
         state = _floor_projection(model_np, state, member, cfg_sim.contact_slop)
+        if return_extra_impulses:
+            return state, out[2][n_base:]
         return state
 
     return substep

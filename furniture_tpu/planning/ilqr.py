@@ -14,10 +14,12 @@ Design notes:
   physics (poses, velocities, joint state). Contact impulses are
   differentiated through the unrolled Jacobi iterations (smooth except on
   the friction-cone boundary — standard practice for contact iLQR).
-* the backward pass is a ``lax.scan`` over time. A block-tridiagonal
-  associative-scan formulation (parallel-in-time Riccati) is the planned
-  upgrade for pod-scale horizons; at H ≤ 64 the sequential scan is already
-  a negligible fraction of the step-linearization cost.
+* the backward pass has two implementations: a sequential ``lax.scan`` and a
+  parallel-in-time associative-scan Riccati (``ILQRConfig.parallel_riccati``,
+  after Särkkä & García-Fernández, IEEE TAC 2023) whose O(log H)-depth
+  combines XLA lowers onto ICI collectives when the horizon axis is sharded
+  over a mesh — the SURVEY §7.7 "context parallelism" analogue. Both produce
+  identical gains (tests/test_ilqr.py).
 * the line search evaluates all candidate step sizes in parallel
   (``vmap`` over alphas) and keeps the best — branch-free control flow.
 """
@@ -42,6 +44,68 @@ class ILQRConfig:
     alphas: tuple = (1.0, 0.5, 0.25, 0.1, 0.03)
     u_min: float = -1.0
     u_max: float = 1.0
+    # parallel-in-time Riccati backward pass (associative scan over the
+    # horizon, O(log H) depth) instead of the sequential lax.scan — the
+    # SURVEY §7.7 "context parallelism" analogue: with the horizon axis
+    # sharded over a mesh, XLA lowers the scan's combines onto ICI
+    # collectives.
+    parallel_riccati: bool = False
+
+
+def riccati_elements(A, B, cx, cu, cxx, cuu, cux, vx, vxx, reg):
+    """Per-step conditional-value elements for the parallel LQR scan.
+
+    Parameterization after Särkkä & García-Fernández, "Temporal
+    Parallelization of Dynamic Programming and Linear Quadratic Control"
+    (IEEE TAC 2023): element (A, b, C, η, J) represents the value function
+    of a time interval as V(x) = ½ xᵀJx − ηᵀx after elimination of the
+    interior; cross terms c_ux are removed by the standard change of control
+    variables first. Returns arrays of length H+1 (terminal element last).
+    """
+    H, n, m = B.shape
+    Im = jnp.eye(m)
+    U = cuu + reg * Im[None]
+    Ui = jnp.linalg.solve(U, jnp.broadcast_to(Im, (H, m, m)))
+    BUi = B @ Ui
+    F = A - BUi @ cux
+    b = -(BUi @ cu[..., None])[..., 0]
+    C = BUi @ jnp.swapaxes(B, 1, 2)
+    X = cxx - jnp.swapaxes(cux, 1, 2) @ Ui @ cux
+    cxb = cx - (jnp.swapaxes(cux, 1, 2) @ Ui @ cu[..., None])[..., 0]
+    zmat = jnp.zeros((1, n, n))
+    zvec = jnp.zeros((1, n))
+    return (
+        jnp.concatenate([F, zmat]),
+        jnp.concatenate([b, zvec]),
+        jnp.concatenate([C, zmat]),
+        jnp.concatenate([-cxb, -vx[None]]),
+        jnp.concatenate([X, vxx[None]]),
+    )
+
+
+def riccati_combine(e_earlier, e_later):
+    """Associative combination of two conditional-value elements (the
+    earlier-in-time interval first)."""
+    Ai, bi, Ci, etai, Ji = e_earlier
+    Aj, bj, Cj, etaj, Jj = e_later
+    n = Ai.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(n), Ai.shape)
+    M = jnp.linalg.solve(
+        jnp.swapaxes(I + Ci @ Jj, -1, -2), jnp.swapaxes(Aj, -1, -2)
+    )
+    AjM = jnp.swapaxes(M, -1, -2)                       # A_j (I + C_i J_j)^{-1}
+    A_out = AjM @ Ai
+    b_out = (AjM @ (bi + (Ci @ etaj[..., None])[..., 0])[..., None])[..., 0] + bj
+    C_out = AjM @ Ci @ jnp.swapaxes(Aj, -1, -2) + Cj
+    JjM = Jj @ jnp.linalg.solve(I + Ci @ Jj, I)         # (I+J_jC_i)^{-1}J_j
+    eta_out = (
+        jnp.swapaxes(Ai, -1, -2)
+        @ (etaj - (JjM @ (bi + (Ci @ etaj[..., None])[..., 0])[..., None])[..., 0])[
+            ..., None
+        ]
+    )[..., 0] + etai
+    J_out = jnp.swapaxes(Ai, -1, -2) @ JjM @ Ai + Ji
+    return A_out, b_out, C_out, eta_out, J_out
 
 
 def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
@@ -122,6 +186,38 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
         )
         return ks, Ks, jnp.sum(dvs)
 
+    def backward_parallel(A, B, cx, cu, cxx, cuu, cux, vx, vxx, reg):
+        """Parallel-in-time Riccati: suffix-combine the conditional-value
+        elements with ``jax.lax.associative_scan`` (O(log H) depth), then
+        recover all per-step gains in one vmapped batch. Matches
+        ``backward`` to solver tolerance (tests/test_ilqr.py)."""
+        m = B.shape[-1]
+        elems = riccati_elements(A, B, cx, cu, cxx, cuu, cux, vx, vxx, reg)
+        # reverse scan combines with the LATER interval as the left operand
+        suffix = jax.lax.associative_scan(
+            lambda a, b: riccati_combine(b, a), elems, reverse=True
+        )
+        Vxx_next = suffix[4][1:]                         # [H,n,n] V at t+1
+        vx_next = -suffix[3][1:]                         # [H,n]
+
+        def gains(At, Bt, cut, cuut, cuxt, Vxxn, vxn):
+            Quu = cuut + Bt.T @ Vxxn @ Bt
+            Qu = cut + Bt.T @ vxn
+            Qux = cuxt + Bt.T @ Vxxn @ At
+            Quu_reg = Quu + reg * jnp.eye(m)
+            L = jnp.linalg.cholesky(
+                0.5 * (Quu_reg + Quu_reg.T) + 1e-9 * jnp.eye(m)
+            )
+            k = -jax.scipy.linalg.cho_solve((L, True), Qu)
+            Kt = -jax.scipy.linalg.cho_solve((L, True), Qux)
+            dv = k @ Qu + 0.5 * k @ Quu @ k
+            return k, Kt, dv
+
+        ks, Ks, dvs = jax.vmap(gains)(A, B, cu, cuu, cux, Vxx_next, vx_next)
+        return ks, Ks, jnp.sum(dvs)
+
+    backward_fn = backward_parallel if cfg.parallel_riccati else backward
+
     def forward(x0, xs_ref, us_ref, ks, Ks, alpha):
         """Closed-loop rollout with the new gains at step size alpha."""
 
@@ -139,7 +235,7 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
             us, reg, cost = carry
             xs = rollout(x0, us)
             exp = linearize(xs, us)
-            ks, Ks, _ = backward(*exp, reg)
+            ks, Ks, _ = backward_fn(*exp, reg)
 
             cand_us = jax.vmap(
                 lambda a: forward(x0, xs, us, ks, Ks, a)
@@ -181,6 +277,7 @@ def flatten_env_dynamics(env, template_state, substeps: int | None = None):
     Returns (f, x0, unravel): ``f(x, u) -> x'``, the initial flat state, and
     the pytree unravel function.
     """
+    from .. import transforms as T
     from ..envs.cursor import CursorEnv
 
     cont = {
@@ -193,10 +290,17 @@ def flatten_env_dynamics(env, template_state, substeps: int | None = None):
     if has_robot:
         cont["qpos"] = template_state.qpos
         cont["qvel"] = template_state.qvel
+    if isinstance(env, CursorEnv):
+        cont["cursor_pos"] = template_state.cursor_pos
     x0, unravel = ravel_pytree(cont)
     n_sub = substeps or env.config.n_substeps
 
     if isinstance(env, CursorEnv):
+        # holding pattern frozen at plan-build time (discrete bookkeeping);
+        # the action path through the held groups is what makes B = ∂f/∂u
+        # nonzero, i.e. the planner can actually steer the dynamics
+        sel = np.asarray(template_state.selected)
+        cfg = env.config
 
         def f(x, u):
             c = unravel(x)
@@ -204,18 +308,48 @@ def flatten_env_dynamics(env, template_state, substeps: int | None = None):
                 pos=c["pos"], quat=c["quat"],
                 lin_vel=c["lin_vel"], ang_vel=c["ang_vel"],
             )
-            # cursor continuous surrogate: actions teleport the cursors and
-            # physics settles the parts (selection/connect frozen)
+            group = template_state.group
+            cursor = c["cursor_pos"]
+            held = jnp.zeros(env.model.n_parts, bool)
+            # smooth surrogate of _step_discrete (env/furniture.py:800-845):
+            # cursor teleport + rigid-group co-move/rotate, without the
+            # non-smooth boundary-revert branches
+            for i in range(2):
+                act = u[7 * i : 7 * i + 7]
+                move = act[:3] * cfg.move_speed
+                cursor = cursor.at[i].add(move)
+                if sel[i] < 0:
+                    continue
+                base = int(sel[i])
+                held = held | (group == group[base])
+                target_quat = T.euler_to_quat(
+                    act[3:6] * cfg.rotate_speed, parts.quat[base]
+                )
+                parts = env.ops.move_group(
+                    parts, group, base, move, target_quat
+                )
+            cursor = jnp.clip(cursor, -cfg.cursor_boundary, cfg.cursor_boundary)
+
+            # reference control step (env/furniture.py:2857-2887): all part
+            # velocities zeroed, held groups gravity-compensated, settle
             from ..physics.engine import substeps as substeps_fn
 
-            gscale = jnp.ones(env.model.n_parts)
-            parts = substeps_fn(
-                env.substep, parts, template_state.group, gscale, n_sub
+            parts = parts._replace(
+                lin_vel=jnp.zeros_like(parts.lin_vel),
+                ang_vel=jnp.zeros_like(parts.ang_vel),
+            )
+            gscale = jnp.where(held, 0.0, 1.0)
+            parts = substeps_fn(env.substep, parts, group, gscale, n_sub)
+            hold3 = held[:, None]
+            parts = parts._replace(
+                lin_vel=jnp.where(hold3, 0.0, parts.lin_vel),
+                ang_vel=jnp.where(hold3, 0.0, parts.ang_vel),
             )
             out = dict(c)
             out.update(
                 pos=parts.pos, quat=parts.quat,
                 lin_vel=parts.lin_vel, ang_vel=parts.ang_vel,
+                cursor_pos=cursor,
             )
             return ravel_pytree(out)[0]
 

@@ -63,20 +63,16 @@ def assembly_cost(env):
     return cost
 
 
-def make_mppi(env, cfg: MPPIConfig, cost_fn=None):
-    """Single-device MPPI plan step: (state, mean[H,dof], key) -> (mean, info).
+def _make_rollout_costs(env, cfg: MPPIConfig, cost_fn, S: int):
+    """Batched rollout-cost evaluator: (state, samples [S,H,dof]) -> [S].
 
-    When the env exposes the batched step API (``has_batch_api``), the sample
-    rollouts route through ``env.step_batch`` — the sample axis IS the batch
-    axis, so the whole-control-step Pallas megakernel carries the planner's
-    inner loop (SURVEY.md §7.7: rollouts = vmap(step) over samples×horizon).
-    """
-    cost_fn = cost_fn or assembly_cost(env)
-    H, S, dof = cfg.horizon, cfg.n_samples, env.dof
+    Routes through ``env.step_batch`` when the env exposes the batched step
+    API (``has_batch_api``) — the sample axis IS the batch axis, so the
+    whole-control-step Pallas megakernel carries the planner's inner loop
+    (SURVEY.md §7.7: rollouts = vmap(step) over samples×horizon)."""
     batched = getattr(env, "has_batch_api", False)
 
     def rollout_costs(state, samples):
-        """Total cost of each action sequence from ``state``. [S,H,dof] -> [S]."""
         states0 = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (S,) + x.shape), state
         )
@@ -101,6 +97,15 @@ def make_mppi(env, cfg: MPPIConfig, cost_fn=None):
         )
         return total
 
+    return rollout_costs
+
+
+def make_mppi(env, cfg: MPPIConfig, cost_fn=None):
+    """Single-device MPPI plan step: (state, mean[H,dof], key) -> (mean, info)."""
+    cost_fn = cost_fn or assembly_cost(env)
+    H, S, dof = cfg.horizon, cfg.n_samples, env.dof
+    rollout_costs = _make_rollout_costs(env, cfg, cost_fn, S)
+
     def plan(state, mean, key):
         noise = jax.random.normal(key, (S, H, dof)) * cfg.sigma
         samples = jnp.clip(mean[None] + noise, -1.0, 1.0)
@@ -115,25 +120,16 @@ def make_mppi(env, cfg: MPPIConfig, cost_fn=None):
 
 def make_sharded_mppi(env, cfg: MPPIConfig, mesh: Mesh, cost_fn=None, axis="env"):
     """MPPI with the sample axis sharded over ``mesh``; softmax statistics
-    reduce with ``psum`` over the mesh axis (ICI on hardware)."""
+    reduce with ``psum`` over the mesh axis (ICI on hardware).
+
+    The per-device sample shard rolls out through the batched step path
+    (``env.step_batch`` → the whole-control-step Pallas megakernel on TPU),
+    so each chip runs its S/n_dev rollouts as one kernel-batched block."""
     cost_fn = cost_fn or assembly_cost(env)
     H, S, dof = cfg.horizon, cfg.n_samples, env.dof
     n_dev = mesh.devices.size
     assert S % n_dev == 0, f"n_samples {S} must divide over {n_dev} devices"
-
-    plan_local = make_mppi(env, cfg, cost_fn)
-
-    def rollout_return(state, actions):
-        def body(carry, a):
-            st, total, disc = carry
-            st, _, rew, _, _ = env.step(st, a)
-            total = total + disc * (cost_fn(st) - rew)
-            return (st, total, disc * cfg.gamma), None
-
-        (_, total, _), _ = jax.lax.scan(
-            body, (state, jnp.float32(0.0), jnp.float32(1.0)), actions
-        )
-        return total
+    rollout_costs = _make_rollout_costs(env, cfg, cost_fn, S // n_dev)
 
     @partial(
         shard_map,
@@ -143,7 +139,7 @@ def make_sharded_mppi(env, cfg: MPPIConfig, mesh: Mesh, cost_fn=None, axis="env"
     )
     def _plan_shard(state, mean, noise):
         samples = jnp.clip(mean[None] + noise, -1.0, 1.0)   # [S/n,H,dof]
-        costs = jax.vmap(lambda a: rollout_return(state, a))(samples)
+        costs = rollout_costs(state, samples)
         # global softmax via psum-normalized exponentials
         local_min = jnp.min(costs)
         global_min = jax.lax.pmin(local_min, axis)

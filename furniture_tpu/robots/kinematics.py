@@ -225,6 +225,75 @@ def actuator_torques(robot: CompiledRobot, qpos, qvel, ctrl):
     return tau, d_imp, k_imp
 
 
+def static_damping(robot: CompiledRobot, dt) -> np.ndarray:
+    """Total implicit per-joint damping D = joint damping + actuator kv +
+    dt·actuator kp (depends only on actuator kinds/gains — static)."""
+    D = np.asarray(robot.jnt_damping, np.float64).copy()
+    for i in range(robot.na):
+        j = int(robot.act_joint[i])
+        kind = int(robot.act_kind[i])
+        gain = float(robot.act_gain[i])
+        if kind == VELOCITY:
+            D[j] += gain
+        elif kind == POSITION:
+            D[j] += dt * gain
+    return D.astype(np.float32)
+
+
+def joint_dyn_matrices(robot: CompiledRobot, qpos, dt):
+    """Precompute the semi-implicit update matrices for one control step.
+
+    With A = M(q) + dt·diag(D) frozen over the control step (the arm moves
+    ≤ a few degrees per 0.1 s under bias-compensated dynamics), the substep
+    update ``A q̇' = M q̇ + dt·τ_eff + p_contact`` becomes
+    ``q̇' = G1 q̇ + G2 (τ_eff + p_contact/dt)`` with G1 = A⁻¹M, G2 = dt·A⁻¹.
+    """
+    fk_out = fk(robot, qpos)
+    M = mass_matrix(robot, fk_out)
+    D = jnp.asarray(static_damping(robot, dt))
+    A = M + dt * jnp.diag(D)
+    Ainv = jax.scipy.linalg.solve(A, jnp.eye(robot.nj), assume_a="pos")
+    return Ainv @ M, dt * Ainv
+
+
+def integrate_precomputed(robot: CompiledRobot, G1, G2, qpos, qvel, tau, p_c, dt):
+    """One semi-implicit joint step using precomputed G1/G2
+    (:func:`joint_dyn_matrices`). ``p_c`` is a joint-space contact impulse
+    (Jᵀλ feedback from the part contact solver); pass zeros when uncoupled.
+    Algebraically identical to :func:`integrate` with frozen M."""
+    fric = jnp.asarray(robot.jnt_frictionloss, jnp.float32)
+    rhs = tau - fric * jnp.tanh(qvel / 0.01) + p_c / dt
+    new_qvel = G1 @ qvel + G2 @ rhs
+    vmax = jnp.asarray(robot.jnt_maxvel, jnp.float32)
+    new_qvel = jnp.clip(new_qvel, -vmax, vmax)
+    new_qpos = qpos + dt * new_qvel
+    lo = jnp.asarray(robot.jnt_range[:, 0], jnp.float32)
+    hi = jnp.asarray(robot.jnt_range[:, 1], jnp.float32)
+    clamped = jnp.clip(new_qpos, lo, hi)
+    hit = clamped != new_qpos
+    new_qvel = jnp.where(hit, 0.0, new_qvel)
+    return clamped, new_qvel
+
+
+def contact_impulses_to_joints(robot: CompiledRobot, fk_out, points, anc_mask, imp):
+    """Joint-space reaction impulse of robot-lane contact impulses: Jᵀ(−λ).
+
+    ``points [L,3]`` world contact points on robot geoms, ``anc_mask [L,NJ]``
+    static ancestry of each lane's robot body, ``imp [L,3]`` the impulse the
+    solver applied to the PART at each lane (reaction on the robot is −imp).
+    This is the two-way coupling MuJoCo provides natively (the reference's
+    gripper↔part contacts load the arm through ``mj_step``)."""
+    axis = fk_out["axis_w"]                                    # [NJ,3]
+    anchor = fk_out["anchor_w"]                                # [NJ,3]
+    hinge = jnp.asarray(robot.jnt_type == HINGE, jnp.float32)[None, :, None]
+    dvec = points[:, None, :] - anchor[None, :, :]             # [L,NJ,3]
+    phi = hinge * jnp.cross(
+        jnp.broadcast_to(axis[None], dvec.shape), dvec
+    ) + (1.0 - hinge) * axis[None]                             # [L,NJ,3]
+    phi = phi * anc_mask[:, :, None]
+    return -jnp.einsum("lji,li->j", phi, imp)
+
+
 def integrate(robot: CompiledRobot, M, qpos, qvel, tau, d_implicit, k_implicit, dt):
     """One semi-implicit joint integration step.
 

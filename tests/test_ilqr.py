@@ -48,3 +48,103 @@ def test_env_dynamics_differentiable():
     g = jax.jit(jax.grad(loss))(x0)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).max()) > 0.0
+
+
+def test_env_dynamics_controls_drive_state():
+    """B = ∂f/∂u must be nonzero when a cursor holds a part (VERDICT r2
+    item 2: the planned problem must actually be controllable)."""
+    env = CursorEnv(
+        EnvConfig(sim=SimConfig(control_freq=100, solver_iters=4))
+    )
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    s = s._replace(
+        cursor_pos=s.cursor_pos.at[0].set(s.parts.pos[0]),
+        selected=s.selected.at[0].set(0),
+    )
+    f, x0, unravel = flatten_env_dynamics(env, s, substeps=2)
+    B = jax.jit(jax.jacrev(f, argnums=1))(x0, jnp.zeros(15))
+    assert np.isfinite(np.asarray(B)).all()
+    assert float(jnp.abs(B).max()) > 1e-3, "controls do not affect dynamics"
+
+
+def test_ilqr_moves_held_part_to_target():
+    """Full iLQR on the cursor manipulation surrogate must beat the
+    zero-control rollout (the honest version of the bench.py metric)."""
+    env = CursorEnv(
+        EnvConfig(sim=SimConfig(control_freq=100, solver_iters=8))
+    )
+    s = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    s = s._replace(
+        cursor_pos=s.cursor_pos.at[0].set(s.parts.pos[0]),
+        selected=s.selected.at[0].set(0),
+    )
+    f, x0, unravel = flatten_env_dynamics(env, s, substeps=3)
+    target = unravel(x0)["pos"][0] + jnp.array([0.1, 0.08, 0.05])
+
+    def rc(x, u, t):
+        c = unravel(x)
+        return 10.0 * jnp.sum((c["pos"][0] - target) ** 2) + 0.05 * jnp.sum(
+            u**2
+        )
+
+    def tc(x):
+        c = unravel(x)
+        return 100.0 * jnp.sum((c["pos"][0] - target) ** 2)
+
+    cfg = ILQRConfig(horizon=12, iterations=6)
+    plan = jax.jit(make_ilqr(f, rc, tc, cfg))
+    us, info = plan(x0, jnp.zeros((cfg.horizon, env.dof)))
+    cost0 = float(info["cost0"])        # zero-control rollout cost
+    cost = float(info["cost"])
+    assert cost < 0.6 * cost0, (cost, cost0)
+    # the held part must actually have moved toward the target
+    x = x0
+    for u in np.asarray(us):
+        x = f(x, jnp.asarray(u))
+    d_final = float(jnp.linalg.norm(unravel(x)["pos"][0] - target))
+    d_init = float(jnp.linalg.norm(unravel(x0)["pos"][0] - target))
+    assert d_final < 0.5 * d_init, (d_final, d_init)
+
+
+def test_parallel_riccati_matches_sequential():
+    """associative-scan backward pass ≡ sequential lax.scan backward pass:
+    the two must produce the same plan on the same problem."""
+    dt = 0.1
+
+    def f(x, u):
+        # 2D double integrator with control coupling (nontrivial B, cross A)
+        return jnp.stack(
+            [
+                x[0] + dt * x[2],
+                x[1] + dt * x[3],
+                x[2] + dt * (u[0] + 0.3 * u[1]),
+                x[3] + dt * u[1],
+            ]
+        )
+
+    tgt = jnp.array([1.0, -0.5, 0.0, 0.0])
+
+    def rc(x, u, t):
+        return 0.02 * jnp.sum(u**2) + 0.1 * jnp.sum((x - tgt) ** 2) + 0.01 * u[0] * x[1]
+
+    def tc(x):
+        return 10.0 * jnp.sum((x - tgt) ** 2)
+
+    x0 = jnp.array([0.0, 0.3, 0.0, 0.0])
+    u0 = jnp.zeros((16, 2))
+    # wide control bounds keep the optimum interior — at the clip boundary a
+    # reg-placement difference of O(reg) between the two backward passes
+    # flips saturated controls and masks the comparison
+    cfg_s = ILQRConfig(horizon=16, iterations=8, u_min=-50.0, u_max=50.0)
+    cfg_p = ILQRConfig(
+        horizon=16, iterations=8, u_min=-50.0, u_max=50.0,
+        parallel_riccati=True,
+    )
+    us_seq, info_seq = jax.jit(make_ilqr(f, rc, tc, cfg_s))(x0, u0)
+    us_par, info_par = jax.jit(make_ilqr(f, rc, tc, cfg_p))(x0, u0)
+    assert np.allclose(np.asarray(us_seq), np.asarray(us_par), atol=5e-2), (
+        np.max(np.abs(np.asarray(us_seq) - np.asarray(us_par)))
+    )
+    assert np.allclose(
+        float(info_seq["cost"]), float(info_par["cost"]), rtol=1e-3
+    )
