@@ -60,6 +60,20 @@ class SimConfig:
     # (MuJoCo native behavior; the reference steps these contacts two-way in
     # mj_step, env/furniture.py:2877-2879)
     robot_coupling: bool = True
+    # torsional grip assist: per-substep blend of a pinched part group's
+    # angular velocity toward the hand's (0 disables). Point-contact friction
+    # alone carries almost no torque about the pad normal (couple arm ≈ 1 cm
+    # of pad), so a grasped part pendulums freely where MuJoCo's force-closed
+    # grasp (reference grippers squeeze with kp≈1e4-1e6 servos) would track
+    # the wrist rigidly; this blend restores that force closure.
+    grip_torsion: float = 0.3
+    # gravity-compensate a pinched part's group while it is held between
+    # both fingers: the torsion damper above cancels relative angular
+    # VELOCITY but not the steady gravity torque about the grasp line, so a
+    # carried part otherwise droops at a constant angle. A force-closed
+    # MuJoCo grasp supports the full weight through the finger servos
+    # (reference kp≈1e4-1e6); this is the equivalent net effect.
+    grip_gravity_comp: bool = True
 
 
 @dataclass(frozen=True)

@@ -188,6 +188,14 @@ class ArmEnv:
 
         self._ctrl_cfg = load_controller_config()
 
+        # batched parts-only physics (cursor megakernel on TPU) for the
+        # reset settle rounds
+        from ..physics.megakernel import make_batched_substeps
+
+        self._batched_substeps = make_batched_substeps(
+            self.tables, cfg.sim, self.substep
+        )
+
         # static lane→joint ancestry for the JᵀF coupling feedback
         self._lane_anc = (
             self.robot.ancestor[self.robot.geom_body[lane_rg]].astype(np.float32)
@@ -284,12 +292,14 @@ class ArmEnv:
             # emulates MuJoCo's force-limited finger servos — purely
             # kinematic fingers would close straight through the part.
             ctrl_eff = ctrl
+            deeps = {}
             for arm in self.arms:
                 lanes = jnp.asarray(self._lane_l[arm] | self._lane_r[arm])
                 pen = jnp.max(
                     jnp.where(extra.mask & lanes, extra.depth, -jnp.inf)
                 )
                 deep = pen > cfg.gripper_squeeze
+                deeps[arm] = deep
                 grows = jnp.asarray(r.gripper_actuators[arm])
                 gj = jnp.asarray(r.act_joint[r.gripper_actuators[arm]])
                 cs = jnp.asarray(
@@ -306,11 +316,47 @@ class ArmEnv:
             tau, _, _ = K.actuator_torques(r, qpos, qvel, ctrl_eff)
             if tau_extra is not None:
                 tau = tau + tau_extra
+            # gravity-compensate firmly-grasped groups: both fingers touching
+            # AND the squeeze servo engaged (SimConfig.grip_gravity_comp) —
+            # light double-touches must not make parts weightless or they
+            # float out of reach during grasp acquisition
+            gscale = jnp.ones(self._P)
+            if cfg.grip_gravity_comp:
+                lane_part = jnp.asarray(self._lane_part)
+                pinched = jnp.zeros(self._P, bool)
+                for arm in self.arms:
+                    tl = (
+                        jax.ops.segment_max(
+                            (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
+                                jnp.int32
+                            ),
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                    tr = (
+                        jax.ops.segment_max(
+                            (extra.mask & jnp.asarray(self._lane_r[arm])).astype(
+                                jnp.int32
+                            ),
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                    pinched = pinched | (tl & tr & deeps[arm])
+                pin_g = jnp.any(
+                    (state.group[:, None] == state.group[None, :])
+                    & pinched[None, :],
+                    axis=1,
+                )
+                gscale = jnp.where(pin_g, 0.0, 1.0)
             if couple:
                 parts2, lam_imp = self.substep(
                     parts,
                     state.group,
-                    jnp.ones(self._P),
+                    gscale,
                     extra_contacts=extra,
                     return_extra_impulses=True,
                 )
@@ -319,9 +365,51 @@ class ArmEnv:
                 )
             else:
                 parts2 = self.substep(
-                    parts, state.group, jnp.ones(self._P), extra_contacts=extra
+                    parts, state.group, gscale, extra_contacts=extra
                 )
                 p_c = jnp.zeros(r.nj)
+            # torsional grip assist (SimConfig.grip_torsion): a part pinched
+            # by both fingers has its group's angular velocity blended toward
+            # the hand's — restoring the force closure MuJoCo's high-kp
+            # finger servos provide, which point-contact friction alone
+            # cannot (almost no torque about the pad normal)
+            if cfg.grip_torsion > 0:
+                lane_part = jnp.asarray(self._lane_part)
+                av = parts2.ang_vel
+                for arm in self.arms:
+                    tl = (
+                        jax.ops.segment_max(
+                            (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
+                                jnp.int32
+                            ),
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                    tr = (
+                        jax.ops.segment_max(
+                            (extra.mask & jnp.asarray(self._lane_r[arm])).astype(
+                                jnp.int32
+                            ),
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                    pin = tl & tr
+                    pin_g = jnp.any(
+                        (state.group[:, None] == state.group[None, :])
+                        & pin[None, :],
+                        axis=1,
+                    )
+                    w_h = K.body_angvel(r, fk_out, qvel, r.eef_body[arm])
+                    av = jnp.where(
+                        pin_g[:, None],
+                        av + cfg.grip_torsion * (w_h[None] - av),
+                        av,
+                    )
+                parts2 = parts2._replace(ang_vel=av)
             qpos2, qvel2 = K.integrate_precomputed(
                 r, G1, G2, qpos, qvel, tau, p_c, cfg.timestep
             )
@@ -392,17 +480,23 @@ class ArmEnv:
                 dq_in = jnp.where(dq_in[0] < 0, -dq_in, dq_in)
                 hqi = T.quat_normalize(T.quat_mul(hand_quat, dq_in))
             else:
-                # rotation deltas are world-frame euler (left-multiplied). The
-                # reference right-multiplies through mixed wxyz/xyzw
-                # conventions (euler_to_quat at env/furniture.py:2917 on an
-                # xyzw quat read as wxyz); we keep one clean convention:
-                # action[3:5] rotate the hand about world x/y/z.
+                # rotation deltas are hand-frame euler, RIGHT-multiplied onto
+                # the accumulated target (matching the reference's composition
+                # direction, env/furniture.py:2917,1332-1342). This choice is
+                # load-bearing for controllability of the site up/forward
+                # vectors: those use the reference's ROW convention
+                # (transform_utils.py:520-545, i.e. R(q)ᵀ·axis), and under a
+                # right-multiplied delta δ they transform as a clean WORLD
+                # rotation v' = R(δ)⁻¹·v — so a P-controller on those vectors
+                # commands euler = −(in-plane angle) per axis
+                # (envs/sawyer_gen.py align phases). A left-multiplied world
+                # delta scrambles them through the full hand orientation.
                 # the same 0.3 sensitivity low-pass as position — without it
                 # a ±1 rot action jumps the wrist target 22.5° in one control
                 # step, which flings grasped parts out of the friction grip
                 hqi = T.quat_mul(
-                    T.euler_to_quat(0.3 * a[3:6] * cfg.rotate_speed),
                     state.hand_quat_init[i],
+                    T.euler_to_quat(0.3 * a[3:6] * cfg.rotate_speed),
                 )
                 hqi = T.quat_normalize(hqi)
             # anti-windup: keep the orientation target within 45° of the
@@ -582,25 +676,16 @@ class ArmEnv:
 
     # -- public API --------------------------------------------------------------
 
-    def reset(self, key) -> ArmState:
+    def _reset_unsettled(self, key) -> ArmState:
+        """Placement + robot init WITHOUT the part-settle rounds (those are
+        appended by ``reset``/``reset_batch`` so the batched path can run
+        them through the megakernel instead of vmapped XLA micro-kernels)."""
         cfg = self.config
         r = self.robot
         k_place, k_agent = jax.random.split(key)
         pos, quat = sample_placement(self.model, cfg, k_place)
         parts = init_state(pos, quat)
         group = jnp.arange(self._P, dtype=jnp.int32)
-
-        # settle parts (env/furniture.py:1535-1540)
-        from .assembly import settle_parts
-        from ..physics.engine import substeps as substeps_fn
-
-        parts = settle_parts(
-            lambda s, g, gs: self.substep(s, g, gs),
-            lambda fn, s, g, gs, n: substeps_fn(fn, s, g, gs, n),
-            parts,
-            group,
-            cfg.sim,
-        )
 
         qpos = jnp.asarray(r.init_qpos, jnp.float32)
         noise = cfg.agent_xyz_rand * jax.random.uniform(
@@ -638,6 +723,22 @@ class ArmEnv:
             t=jnp.array(0, jnp.int32),
         )
         return state
+
+    def reset(self, key) -> ArmState:
+        state = self._reset_unsettled(key)
+
+        # settle parts (env/furniture.py:1535-1540)
+        from ..physics.engine import substeps as substeps_fn
+        from .assembly import settle_parts
+
+        parts = settle_parts(
+            lambda s, g, gs: self.substep(s, g, gs),
+            lambda fn, s, g, gs, n: substeps_fn(fn, s, g, gs, n),
+            state.parts,
+            state.group,
+            self.config.sim,
+        )
+        return state._replace(parts=parts)
 
     def observe(self, state: ArmState) -> dict:
         cfg = self.config
@@ -828,7 +929,33 @@ class ArmEnv:
     # -- batched API (arm megakernel production path) -------------------------
 
     def reset_batch(self, keys) -> ArmState:
-        return jax.vmap(self.reset)(keys)
+        """Batched reset: vmapped placement/robot init, then the settle
+        rounds through the batched part-physics path (the cursor megakernel
+        on TPU) — vmapping the XLA settle loops instead compiles for minutes
+        on the tunneled backend."""
+        states = jax.vmap(self._reset_unsettled)(keys)
+        B = states.group.shape[0]
+        parts, group = states.parts, states.group
+        gscale = jnp.zeros((B, self._P))
+        clip = self.config.sim.slow_clip
+
+        def settle(i, p):
+            p = p._replace(
+                lin_vel=jnp.zeros_like(p.lin_vel),
+                ang_vel=jnp.zeros_like(p.ang_vel),
+            )
+            p = self._batched_substeps(p, group, gscale, 10)
+            return p._replace(
+                lin_vel=jnp.clip(p.lin_vel, -clip, clip),
+                ang_vel=jnp.clip(p.ang_vel, -clip, clip),
+            )
+
+        parts = jax.lax.fori_loop(0, 10, settle, parts)
+        parts = parts._replace(
+            lin_vel=jnp.zeros_like(parts.lin_vel),
+            ang_vel=jnp.zeros_like(parts.ang_vel),
+        )
+        return states._replace(parts=parts)
 
     def _mega_substeps(self, states: ArmState, ctrl, tau_extra, n: int) -> ArmState:
         """One control step of ``n`` coupled substeps for the whole batch via

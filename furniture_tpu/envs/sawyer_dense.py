@@ -341,6 +341,32 @@ class FurnitureSawyerDenseRewardEnv(ArmEnv):
         fk_out = K.fk(self.robot, state.qpos)
         return self._subtask_vars(state, fk_out)
 
+    def reset_batch(self, keys) -> DenseState:
+        """Batched reset: ArmEnv's megakernel-settled reset + vmapped dense
+        wrapper fields."""
+        base = super(FurnitureSawyerDenseRewardEnv, self).reset_batch(keys)
+
+        def wrap(b):
+            z = jnp.array(0.0)
+            state = DenseState(
+                **b._asdict(),
+                phase_i=jnp.array(0, jnp.int32),
+                subtask_step=jnp.array(0, jnp.int32),
+                leg_dropped=jnp.array(False),
+                table_moved=jnp.array(False),
+                leg_lift=jnp.array(False),
+                leg_fine_aligned=jnp.array(0, jnp.int32),
+                init_eef_pos=jnp.zeros(3),
+                init_table_site_pos=jnp.zeros(3),
+                init_lift_leg_z=z,
+                lift_leg_pos=jnp.zeros(3),
+                prev=Prev(z, z, z, z, z, z, z, z, z, z, z),
+            )
+            fk_out = K.fk(self.robot, state.qpos)
+            return self._subtask_vars(state, fk_out)
+
+        return jax.vmap(wrap)(base)
+
     # -- observation ------------------------------------------------------------
 
     def observe(self, state) -> dict:
@@ -352,10 +378,16 @@ class FurnitureSawyerDenseRewardEnv(ArmEnv):
     # -- dense reward machine -----------------------------------------------------
 
     def step(self, state: DenseState, action):
-        cfg = self.config
-        d = cfg.dense
         prev_connected = state.num_connected
         state = self.step_physics(state, action)
+        return self._finish_step(state, action, prev_connected)
+
+    def _finish_step(self, state: DenseState, action, prev_connected):
+        """Dense-reward post-physics layer; overriding ArmEnv's hook makes
+        the inherited ``step_batch`` (megakernel physics + vmapped finish)
+        produce dense rewards and phase bookkeeping too."""
+        cfg = self.config
+        d = cfg.dense
         state, unstable = self._guard(state)
         state = state._replace(t=state.t + 1)
         connected = state.num_connected > prev_connected

@@ -99,14 +99,31 @@ def _move_z(cur, tgt, eps, conn_dist, fine=None):
     return d
 
 
+_FLIP_MARGIN = 0.35  # rad; see below
+
+
 def _align2D(vec2, tgt2, eps):
-    """CCW in-plane rotation (radians, wrapped to (-π, π]) taking vec2 onto
-    tgt2, with deadband and gimbal-lock guard (the role of the reference's
-    ``align2D`` :249-270 — the reference negates because its euler plumbing
-    inverts axes; our env applies clean world-frame euler, so the action IS
-    the wrapped angle)."""
+    """CCW in-plane rotation (radians) taking vec2 onto tgt2, with deadband
+    and gimbal-lock guard (the role of the reference's ``align2D`` :249-270).
+    Callers map the returned angle to euler actions with the sign rule
+    (−φ_x, +φ_y, −φ_z): the observed site vectors use the reference's row
+    convention and transform as v' = R(δ)⁻¹v under the env's right-multiplied
+    euler delta (see ``envs/arm.py:_ik_prepare``) — the same reason the
+    reference negates its align2D output.
+
+    Wrapped to the SHIFTED interval (-π+margin, π+margin]: a target ~180°
+    away sits exactly on the ±π wrap boundary, where any wobble of the held
+    part flips the commanded rotation direction every step and the
+    controller oscillates forever (observed on table_lack when the grasped
+    leg dangles conn-end-up). Shifting the branch cut off the flip
+    configuration makes the direction choice deterministic — the part
+    rotates through the full 180° instead of dithering."""
     angle = T.angle_between2D(vec2, tgt2)
-    act = jnp.mod(angle + jnp.pi, 2 * jnp.pi) - jnp.pi
+    act = (
+        jnp.mod(angle + jnp.pi - _FLIP_MARGIN, 2 * jnp.pi)
+        - jnp.pi
+        + _FLIP_MARGIN
+    )
     act = jnp.where(jnp.abs(act) < eps, 0.0, act)
     lock = jnp.abs(vec2[0]) + jnp.abs(vec2[1]) < 0.5
     return jnp.where(lock, 0.0, act)
@@ -304,10 +321,12 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             # world-axis rot actions: yz-plane ccw = +x, xz-plane ccw = -y,
             # xy-plane ccw = +z
             act = a.at[6].set(-1.0)
-            ac_z = _align_gripsites(grip_fwd[:2], g_vec[:2], self.rot_eps)
+            # action sign rule for row-convention vectors (see arm._ik_prepare):
+            # euler = (-phi_x, +phi_y, -phi_z) for CCW in-plane corrections
+            ac_z = -_align_gripsites(grip_fwd[:2], g_vec[:2], self.rot_eps)
             tgt = jnp.array([0.0, -1.0])
-            ac_x = _align2D(grip_up[1:3], tgt, self.rot_eps)
-            ac_y = -_align2D(grip_up[0::2], tgt, self.rot_eps)
+            ac_x = -_align2D(grip_up[1:3], tgt, self.rot_eps)
+            ac_y = _align2D(grip_up[0::2], tgt, self.rot_eps)
             rot_zero = (ac_x == 0) & (ac_y == 0) & (ac_z == 0)
             d, reached = _move_xy(grip_pos[:2], g_pos[:2], self.eps)
             act = jnp.where(
@@ -367,11 +386,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         def ph_align_conn(gen):
             act = a.at[6].set(1.0)
-            ac_x = _align2D(g_up[1:3], t_up[1:3], self.rot_eps)
-            ac_y = -_align2D(g_up[0::2], t_up[0::2], self.rot_eps)
+            ac_x = -_align2D(g_up[1:3], t_up[1:3], self.rot_eps)
+            ac_y = _align2D(g_up[0::2], t_up[0::2], self.rot_eps)
             rot_zero = (ac_x == 0) & (ac_y == 0)
             tf, gen2 = cached_t_fwd(gen)
-            ac_z = _align2D(g_fwd[:2], tf, self.rot_eps)
+            ac_z = -_align2D(g_fwd[:2], tf, self.rot_eps)
             gen = jax.tree.map(
                 lambda new, old: jnp.where(rot_zero, new, old), gen2, gen
             )
@@ -409,11 +428,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         def ph_align_conn_fine(gen):
             act = a.at[6].set(1.0)
-            ac_x = _align2D(g_up[1:3], t_up[1:3], self.rot_eps_fine)
-            ac_y = -_align2D(g_up[0::2], t_up[0::2], self.rot_eps_fine)
+            ac_x = -_align2D(g_up[1:3], t_up[1:3], self.rot_eps_fine)
+            ac_y = _align2D(g_up[0::2], t_up[0::2], self.rot_eps_fine)
             rot_zero = (ac_x == 0) & (ac_y == 0)
             tf, gen2 = cached_t_fwd(gen)
-            ac_z = _align2D(g_fwd[:2], tf, self.rot_eps_fine)
+            ac_z = -_align2D(g_fwd[:2], tf, self.rot_eps_fine)
             gen = jax.tree.map(
                 lambda new, old: jnp.where(rot_zero, new, old), gen2, gen
             )
@@ -440,11 +459,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             d = _move_z(
                 gconn_pos, tconn_pos, self.eps_fine, z_conn, fine=self.fine_mag
             )
-            ac_x = _align2D(g_up[1:3], t_up[1:3], self.rot_eps_fine)
-            ac_y = -_align2D(g_up[0::2], t_up[0::2], self.rot_eps_fine)
+            ac_x = -_align2D(g_up[1:3], t_up[1:3], self.rot_eps_fine)
+            ac_y = _align2D(g_up[0::2], t_up[0::2], self.rot_eps_fine)
             rot_zero = (ac_x == 0) & (ac_y == 0)
             tf, gen2 = cached_t_fwd(gen)
-            ac_z0 = _align2D(g_fwd[:2], tf, self.rot_eps_fine)
+            ac_z0 = -_align2D(g_fwd[:2], tf, self.rot_eps_fine)
             ac_z = jnp.where(rot_zero, ac_z0, 0.0)
             gen = jax.tree.map(
                 lambda new, old: jnp.where(rot_zero, new, old), gen2, gen

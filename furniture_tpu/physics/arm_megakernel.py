@@ -288,6 +288,19 @@ class ArmMegaPhysics:
         self.lane_fric = np.concatenate([lf_fric, lp_fric, lane_rfric]).astype(
             np.float32
         )
+        # per-lane solref-derived Baumgarte fractions (collide.attach_betas)
+        from .collide import attach_betas
+
+        attach_betas(tables, cfg_sim)
+        lp_beta = (
+            np.repeat(np.concatenate([tables["_pair_beta"]] * 2), 8)
+            if NP_
+            else np.zeros(0, np.float32)
+        )
+        r_beta = np.concatenate([np.repeat(tables["_robot_beta"], NS)] * 2)
+        self.lane_beta = np.concatenate(
+            [np.repeat(tables["_floor_beta"], 8), lp_beta, r_beta]
+        ).astype(np.float32)
         self.floor_mask_p = np.stack(
             [lf_part == p for p in range(P)]
         ).astype(np.float32)
@@ -344,6 +357,15 @@ class ArmMegaPhysics:
                 fhi=float(robot.act_forcerange[i, 1]),
             )
             for i in range(robot.na)
+        ]
+        # per-arm eef-body joint ancestry (hinges only) for the hand angular
+        # velocity used by the torsional grip assist
+        self._eef_anc = [
+            (
+                robot.ancestor[robot.eef_body[arm]]
+                & (robot.jnt_type == 0)  # HINGE
+            ).astype(np.float64)
+            for arm in robot.arms
         ]
         # gripper actuators per arm (for the contact-aware squeeze servo)
         self._grip_meta = [
@@ -439,6 +461,7 @@ class ArmMegaPhysics:
         jc_ref,
         a2j_ref,
         sumj_ref,
+        beta_ref,
         ys_ref,
         yt_ref,
         *,
@@ -530,6 +553,7 @@ class ArmMegaPhysics:
         JHI = col(jc, 3)
         A2J = a2j_ref[:]                       # [NJ,NA]
         SUMJ = sumj_ref[:]                     # [NJ,NJ²]
+        BETA = beta_ref[:]                     # [K,1]
 
         # robot-lane part one-hots are rows [Kf+Kp:] of OA; slice views
         OA_r = OA[Kf + Kp :]
@@ -603,8 +627,8 @@ class ArmMegaPhysics:
                     pa = MASS[None, :, :] * ((d2 if i == j else 0.0) - d[i] * d[j])
                     gI[i][j] = jnp.sum(member * (Iw[i][j][None, :, :] + pa), axis=1)
             invI = _inv3_rows(gI, 1e-8)
-
-            lin = (lin[0], lin[1], lin[2] + dt * gz * gscale)
+            # (gravity applied after the robot narrow phase — pinched groups
+            # are gravity-compensated, SimConfig.grip_gravity_comp)
 
             # ================= narrow phase =================
             # floor lanes
@@ -725,6 +749,13 @@ class ArmMegaPhysics:
                 vbz = vbz + anc_j * qvj * phi[2]
             velb_r = (vbx, vby, vbz)
 
+            # touch flags from this substep's raw contact configuration
+            # (carried → final value = last substep, matching
+            # envs/arm._update_touches on masks[-1])
+            touch_new = (
+                jnp.dot(TMAP, rmask, preferred_element_type=jnp.float32) > 0
+            ).astype(jnp.float32)
+
             # ================= gripper squeeze servo =================
             ctrl_eff = ctrl
             deeps = []
@@ -743,9 +774,29 @@ class ArmMegaPhysics:
                     qj = qp[gj : gj + 1]
                     held = jnp.minimum(cr, qj) if cs > 0 else jnp.maximum(cr, qj)
                     new_row = jnp.where(deep, held, cr)
-                    ctrl_eff = jnp.concatenate(
-                        [ctrl_eff[:row], new_row, ctrl_eff[row + 1 :]], axis=0
-                    )
+                    # guarded concat: Mosaic rejects zero-sized slices
+                    pieces = []
+                    if row > 0:
+                        pieces.append(ctrl_eff[:row])
+                    pieces.append(new_row)
+                    if row + 1 < NA:
+                        pieces.append(ctrl_eff[row + 1 :])
+                    ctrl_eff = jnp.concatenate(pieces, axis=0)
+
+            # ============ gravity (firm-grasp compensated) ============
+            # both fingers touching AND squeeze engaged (see envs/arm
+            # _sim_substeps — light double-touches must not go weightless)
+            gscale_eff = gscale
+            if getattr(cfg, "grip_gravity_comp", True):
+                pin_any = jnp.zeros((P, Bb), jnp.float32)
+                for a_i in range(self.n_arms):
+                    tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
+                    tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
+                    deep_f = deeps[a_i].astype(jnp.float32)      # [1,Bb]
+                    pin_any = jnp.maximum(pin_any, tl * tr * deep_f)
+                pin_g = jnp.max(member * pin_any[None, :, :], axis=1)
+                gscale_eff = gscale * (1.0 - pin_g)
+            lin = (lin[0], lin[1], lin[2] + dt * gz * gscale_eff)
 
             # ================= actuator torques =================
             frows = []
@@ -819,7 +870,7 @@ class ArmMegaPhysics:
                 inv_w.append(1.0 / jnp.maximum(wd, 1e-8))
 
             bias = -jnp.minimum(
-                (baum / dt) * jnp.maximum(depth - slop, 0.0), 0.5
+                (BETA / dt) * jnp.maximum(depth - slop, 0.0), 0.5
             )
 
             s_a = _matcat(OAT, (fmask,))[0]
@@ -957,12 +1008,31 @@ class ArmMegaPhysics:
             per_group = jnp.max(member * per_part[None, :, :], axis=1)
             new_pos = (new_pos[0], new_pos[1], new_pos[2] + per_group)
 
-            # touch flags from this substep's raw contact configuration
-            # (overwritten each substep → final value = last substep, matching
-            # envs/arm._update_touches on masks[-1])
-            touch_new = (
-                jnp.dot(TMAP, rmask, preferred_element_type=jnp.float32) > 0
-            ).astype(jnp.float32)
+            # torsional grip assist (SimConfig.grip_torsion; see envs/arm
+            # _sim_substeps): blend a pinched group's angular velocity toward
+            # the hand's — applied to the carried velocity, like the XLA path
+            gt = getattr(cfg, "grip_torsion", 0.0)
+            if gt > 0:
+                for a_i in range(self.n_arms):
+                    tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
+                    tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
+                    pin = tl * tr                                     # [P,Bb]
+                    pin_g = jnp.max(member * pin[None, :, :], axis=1)
+                    anc_h = self._eef_anc[a_i]
+                    whx = jnp.zeros_like(qv[0:1])
+                    why = jnp.zeros_like(qv[0:1])
+                    whz = jnp.zeros_like(qv[0:1])
+                    for j in range(NJ):
+                        if anc_h[j] == 0.0:
+                            continue
+                        qvj = qv[j : j + 1]
+                        whx = whx + qvj * axis_w[j][0]
+                        why = why + qvj * axis_w[j][1]
+                        whz = whz + qvj * axis_w[j][2]
+                    av = tuple(
+                        jnp.where(pin_g > 0, c + gt * (wh - c), c)
+                        for c, wh in zip(av, (whx, why, whz))
+                    )
 
             return (new_pos, new_quat, lv, av, qp_cl, qv_new, touch_new)
 
@@ -1030,6 +1100,7 @@ class ArmMegaPhysics:
                 jc,
                 self.A2J,
                 self.SUMJ,
+                self.lane_beta[:, None].copy(),
             )
         return tuple(jnp.asarray(a) for a in self._const_arrays)
 

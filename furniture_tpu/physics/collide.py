@@ -56,7 +56,9 @@ class Contacts(NamedTuple):
 
     ``vel_b`` is the prescribed world velocity of the b side at the contact
     point for kinematic colliders (robot gripper geoms, ``part_b == -1``);
-    zero for floor and part-part lanes."""
+    zero for floor and part-part lanes. ``beta`` is the per-lane
+    position-correction fraction derived from the geom pair's MuJoCo
+    ``solref`` (see :func:`solref_beta`)."""
 
     point: jax.Array    # [K,3] world position
     normal: jax.Array   # [K,3] world normal (a -> b: pushes a along +n)
@@ -66,6 +68,74 @@ class Contacts(NamedTuple):
     friction: jax.Array  # [K]
     mask: jax.Array     # [K] bool
     vel_b: jax.Array    # [K,3] prescribed b-side velocity (kinematic lanes)
+    beta: jax.Array     # [K] per-lane Baumgarte fraction (solref-derived)
+
+
+# MuJoCo default solref for geoms that do not set one (robot bases etc.)
+_DEFAULT_SOLREF = np.array([0.02, 1.0], np.float32)
+# the reference FloorArena plane (assets/arenas/floor_arena.xml) keeps it
+_FLOOR_SOLREF = np.array([0.02, 1.0], np.float32)
+
+
+def solref_beta(solref_a, solref_b, dt: float, cap: float) -> np.ndarray:
+    """Per-pair position-correction fraction from MuJoCo ``solref``.
+
+    MuJoCo's soft constraint (solref = (timeconst τ, dampratio ζ), reference
+    ``base.xml:4`` + per-geom overrides like ``solref="0.001 1"`` in the
+    furniture XMLs) corrects penetration with time constant ~τζ. The
+    discrete-time Baumgarte analogue corrects a fraction β ≈ dt/(τζ) of the
+    penetration per substep; β is clamped at ``cap`` (``SimConfig.baumgarte``),
+    the stability limit of the mass-split Jacobi sweep. Pair mixing is the
+    elementwise mean — MuJoCo's default equal-``solmix`` rule.
+
+    Note on the shipped assets: every furniture geom is stiffer than the cap
+    (τζ ≤ 0.003 < dt/cap), so part-part lanes all saturate at ``cap``; the
+    softer robot/floor geoms (τζ = 0.02) pull their mixed lanes slightly
+    below it.
+    """
+    sr = 0.5 * (np.asarray(solref_a, np.float64) + np.asarray(solref_b, np.float64))
+    tz = np.maximum(sr[..., 0] * np.maximum(sr[..., 1], 1e-3), 1e-6)
+    return np.minimum(cap, dt / tz).astype(np.float32)
+
+
+def attach_betas(model_np: dict, cfg_sim) -> None:
+    """Precompute per-lane solref betas into the tables dict (idempotent).
+
+    Adds ``_floor_beta [G]``, ``_pair_beta [NP]`` and (when robot pairs are
+    present) ``_robot_beta [NPr]``.
+    """
+    key = (float(cfg_sim.timestep), float(cfg_sim.baumgarte))
+    if model_np.get("_beta_key") == key:
+        return
+    dt, cap = key
+    sr = np.asarray(
+        model_np.get(
+            "geom_solref",
+            np.tile(_DEFAULT_SOLREF, (len(model_np["geom_part"]), 1)),
+        ),
+        np.float64,
+    )
+    model_np["_floor_beta"] = solref_beta(sr, _FLOOR_SOLREF[None], dt, cap)
+    pairs = model_np["_pairs"]
+    if len(pairs):
+        model_np["_pair_beta"] = solref_beta(
+            sr[pairs[:, 0]], sr[pairs[:, 1]], dt, cap
+        )
+    else:
+        model_np["_pair_beta"] = np.zeros(0, np.float32)
+    rpairs = model_np.get("_robot_pairs")
+    if rpairs is not None and len(rpairs):
+        rsr = np.asarray(
+            model_np["robot_np"].get(
+                "geom_solref",
+                np.tile(_DEFAULT_SOLREF, (int(rpairs[:, 0].max()) + 1, 1)),
+            ),
+            np.float64,
+        )
+        model_np["_robot_beta"] = solref_beta(
+            sr[rpairs[:, 1]], rsr[rpairs[:, 0]], dt, cap
+        )
+    model_np["_beta_key"] = key
 
 
 def _geom_world(model_np, state_pos, state_quat):
@@ -118,6 +188,7 @@ def floor_contacts(model_np, pos, quat, slop: float) -> Contacts:
         friction=fric,
         mask=mask,
         vel_b=jnp.zeros_like(cw),
+        beta=jnp.asarray(np.repeat(model_np["_floor_beta"], 8), jnp.float32),
     )
 
 
@@ -134,7 +205,7 @@ def pair_contacts(model_np, pos, quat, group, slop: float) -> Contacts:
         z3 = jnp.zeros((0, 3), jnp.float32)
         z = jnp.zeros((0,), jnp.float32)
         zi = jnp.zeros((0,), jnp.int32)
-        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3)
+        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3, z)
 
     sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)
     gpart = jnp.asarray(model_np["geom_part"])
@@ -182,7 +253,12 @@ def pair_contacts(model_np, pos, quat, group, slop: float) -> Contacts:
 
     same_group = group[pa] == group[pb]
     mask = inside & ~same_group
-    return Contacts(point, normal, depth, pa, pb, fr, mask, jnp.zeros_like(point))
+    beta = jnp.asarray(
+        np.concatenate([np.repeat(model_np["_pair_beta"], 8)] * 2), jnp.float32
+    )
+    return Contacts(
+        point, normal, depth, pa, pb, fr, mask, jnp.zeros_like(point), beta
+    )
 
 
 def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
@@ -219,7 +295,7 @@ def robot_contacts(
         z3 = jnp.zeros((0, 3), jnp.float32)
         z = jnp.zeros((0,), jnp.float32)
         zi = jnp.zeros((0,), jnp.int32)
-        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3)
+        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3, z)
 
     sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)
     r_sizes = jnp.asarray(robot_np["_box_sizes"], jnp.float32)
@@ -280,6 +356,9 @@ def robot_contacts(
     r = point - rg_pos[rg2]
     vel_b = rg_vel[rg2] + jnp.cross(rg_angvel[rg2], r)
 
+    beta = jnp.asarray(
+        np.concatenate([np.repeat(model_np["_robot_beta"], NS)] * 2), jnp.float32
+    )
     return Contacts(
         point,
         normal,
@@ -289,6 +368,7 @@ def robot_contacts(
         fr,
         inside,
         vel_b,
+        beta,
     )
 
 

@@ -166,8 +166,10 @@ def _solve_contacts(
     # depenetration velocity clamped (max_depenetration_velocity analogue):
     # deep overlaps (teleports, kinematic-finger squeezes) must not inject
     # unbounded energy
+    # per-lane Baumgarte from the geom pair's solref (collide.solref_beta);
+    # `baumgarte` (the config cap) is already folded into c.beta
     bias = -jnp.minimum(
-        (baumgarte / dt) * jnp.maximum(c.depth - slop, 0.0), 0.5
+        (c.beta / dt) * jnp.maximum(c.depth - slop, 0.0), 0.5
     )                                                                # [K]
 
     # membership scatter matrices (group of part_a / part_b -> all member parts)
@@ -256,6 +258,9 @@ def make_substep(model_np, cfg_sim):
     to the floor/pair sets — used by arm envs to inject robot-gripper
     kinematic contacts (``collide.robot_contacts``).
     """
+    from .collide import attach_betas
+
+    attach_betas(model_np, cfg_sim)
     dt = cfg_sim.timestep
     gvec = jnp.array([0.0, 0.0, cfg_sim.gravity], jnp.float32)
 
@@ -356,6 +361,7 @@ def physics_tables(model) -> dict:
     from .collide import precompute_collision_tables
 
     out = precompute_collision_tables(model)
+    out["geom_solref"] = np.asarray(model.geom_solref, dtype=np.float32)
     out["part_mass"] = np.asarray(model.part_mass, dtype=np.float32)
     out["part_com"] = np.asarray(model.part_com, dtype=np.float32)
     out["part_inertia"] = np.asarray(model.part_inertia, dtype=np.float32)
@@ -385,5 +391,6 @@ def robot_contact_tables(tables: dict, robot) -> dict:
         "robot_np": {
             "_box_sizes": np.asarray(robot.geom_size, dtype=np.float32),
             "geom_friction": np.asarray(robot.geom_friction, dtype=np.float32),
+            "geom_solref": np.asarray(robot.geom_solref, dtype=np.float32),
         },
     }

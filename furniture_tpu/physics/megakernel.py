@@ -204,6 +204,18 @@ class MegaPhysics:
         lp_src = np.repeat(src, 8)
         lp_dst = np.repeat(dst, 8)
         self.Kp = len(lp_src)
+        # per-lane solref-derived Baumgarte fractions (collide.attach_betas)
+        from .collide import attach_betas
+
+        attach_betas(model_np, cfg_sim)
+        lp_beta = (
+            np.repeat(np.concatenate([model_np["_pair_beta"]] * 2), 8)
+            if NP_
+            else np.zeros(0, np.float32)
+        )
+        self.lane_beta = np.concatenate(
+            [np.repeat(model_np["_floor_beta"], 8), lp_beta]
+        ).astype(np.float32)
         self.lp_corner = part_frame_corners(src) if NP_ else np.zeros((0, 3), np.float32)
         self.lp_part_a = gp[lp_src] if NP_ else np.zeros(0, int)
         self.lp_part_b = gp[lp_dst] if NP_ else np.zeros(0, int)
@@ -267,6 +279,7 @@ class MegaPhysics:
         lpc_ref,
         oap_ref,
         obp_ref,
+        beta_ref,
         y_ref,
         *,
         n: int,
@@ -318,6 +331,7 @@ class MegaPhysics:
         LP_SZ = tuple(col(lpc, 10 + c) for c in range(3))
         OAp = oap_ref[:]
         OBp = obp_ref[:]
+        BETA = beta_ref[:]                                               # [K,1]
         fmpt = fmpt_ref[:]                                               # [Kf,P]
         FMP = [col(fmpt, p) for p in range(P)]
 
@@ -453,7 +467,7 @@ class MegaPhysics:
                 inv_w.append(1.0 / jnp.maximum(wd, 1e-8))
 
             bias = -jnp.minimum(
-                (baum / dt) * jnp.maximum(depth - slop, 0.0), 0.5
+                (BETA / dt) * jnp.maximum(depth - slop, 0.0), 0.5
             )
 
             # mass-splitting lane scale via static-part counts + group spread
@@ -590,6 +604,7 @@ class MegaPhysics:
                 lpc,
                 self.OAp,
                 self.OBp,
+                self.lane_beta[:, None].copy(),
             )
         return tuple(jnp.asarray(a) for a in self._const_arrays)
 

@@ -219,7 +219,7 @@ def solve_contacts_pallas(
         + quad(rxd_b, inv_I_b)
     )
     inv_w = 1.0 / jnp.maximum(w, 1e-8)
-    bias = -jnp.minimum((baumgarte / dt) * jnp.maximum(c.depth - slop, 0.0), 0.5)
+    bias = -jnp.minimum((c.beta / dt) * jnp.maximum(c.depth - slop, 0.0), 0.5)
 
     mem_a = (group[c.part_a][:, None] == group[None, :]).astype(jnp.float32)
     mem_b = ((group[pb_safe][:, None] == group[None, :]) & has_b[:, None]).astype(

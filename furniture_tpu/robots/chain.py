@@ -188,6 +188,7 @@ class CompiledRobot:
     geom_quat: np.ndarray          # [NG,4]
     geom_size: np.ndarray          # [NG,3]
     geom_friction: np.ndarray      # [NG]
+    geom_solref: np.ndarray        # [NG,2] MuJoCo (timeconst, dampratio)
     hand_geoms: np.ndarray         # [NG] bool: gripper-side geoms used for
                                    # arm↔part contact coupling
 
@@ -379,6 +380,7 @@ def compile_robot(agent: str, use_torque: bool = False) -> CompiledRobot:
         for n in lst
     }
     gbody, gpos, gquat, gsize, gfric, gname = [], [], [], [], [], []
+    gsolref = []
     for i, b in enumerate(bodies):
         for g in b["geoms"]:
             if g["type"] == "mesh":
@@ -405,6 +407,7 @@ def compile_robot(agent: str, use_torque: bool = False) -> CompiledRobot:
             gquat.append(g["quat"])
             gsize.append(size)
             gfric.append(g["friction"][0])
+            gsolref.append(g.get("solref") or [0.02, 1.0])
             gname.append(g.get("name") or "")
     NG = len(gbody)
     geom_body = np.array(gbody, dtype=np.int32).reshape(NG)
@@ -413,6 +416,7 @@ def compile_robot(agent: str, use_torque: bool = False) -> CompiledRobot:
     geom_quat /= np.linalg.norm(geom_quat, axis=-1, keepdims=True)
     geom_size = np.array(gsize, dtype=np.float64).reshape(NG, 3)
     geom_friction = np.array(gfric, dtype=np.float64).reshape(NG)
+    geom_solref = np.array(gsolref, dtype=np.float64).reshape(NG, 2)
 
     gname2idx: dict[str, int] = {}
     for i, n in enumerate(gname):
@@ -516,6 +520,7 @@ def compile_robot(agent: str, use_torque: bool = False) -> CompiledRobot:
         geom_quat=geom_quat,
         geom_size=geom_size,
         geom_friction=geom_friction,
+        geom_solref=geom_solref,
         hand_geoms=hand_geoms,
         arms=arms,
         eef_body=eef_body,

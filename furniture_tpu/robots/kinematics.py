@@ -275,6 +275,16 @@ def integrate_precomputed(robot: CompiledRobot, G1, G2, qpos, qvel, tau, p_c, dt
     return clamped, new_qvel
 
 
+def body_angvel(robot: CompiledRobot, fk_out, qvel, body_idx: int):
+    """World angular velocity of one body: ω = Σ_j anc[b,j]·q̇_j·axis_j
+    (hinge joints only contribute)."""
+    anc = jnp.asarray(robot.ancestor[body_idx], jnp.float32)
+    hinge = jnp.asarray(robot.jnt_type == HINGE, jnp.float32)
+    return jnp.sum(
+        (anc * hinge * qvel)[:, None] * fk_out["axis_w"], axis=0
+    )
+
+
 def contact_impulses_to_joints(robot: CompiledRobot, fk_out, points, anc_mask, imp):
     """Joint-space reaction impulse of robot-lane contact impulses: Jᵀ(−λ).
 

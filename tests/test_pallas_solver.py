@@ -26,6 +26,10 @@ from furniture_tpu.physics.state import init_state
 def _setup(key, vel_scale=0.1):
     m = compile_model("table_lack_0825")
     tb = physics_tables(m)
+    from furniture_tpu.config import SimConfig
+    from furniture_tpu.physics.collide import attach_betas
+
+    attach_betas(tb, SimConfig())
     k1, k2 = jax.random.split(key)
     pos = jnp.asarray(m.part_init_pos, jnp.float32) + jax.random.normal(
         k1, (m.n_parts, 3)
