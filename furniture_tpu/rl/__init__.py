@@ -11,6 +11,7 @@ Entry point: ``tools/train_rl.py`` (the ``run.py`` analogue).
 """
 
 from .bc import BCConfig, BCState, demos_to_dataset, make_bc
+from .eval import make_evaluate, ppo_act, sac_act
 from .gail import DiscState, GAILConfig, make_gail
 from .networks import flatten_obs, obs_dim
 from .ppo import PPOConfig, PPOState, make_ppo
@@ -28,8 +29,11 @@ __all__ = [
     "demos_to_dataset",
     "flatten_obs",
     "make_bc",
+    "make_evaluate",
     "make_gail",
     "make_ppo",
     "make_sac",
     "obs_dim",
+    "ppo_act",
+    "sac_act",
 ]

@@ -118,3 +118,52 @@ def test_gail_discriminator_separates(tiny_env):
     r_exp = rfn(jnp.asarray(expert_obs[:8]), jnp.asarray(expert_act[:8]), 0.0)
     r_pol = rfn(jnp.asarray(pol_obs[:8]), jnp.asarray(pol_act[:8]), 0.0)
     assert float(r_exp.mean()) > float(r_pol.mean())
+
+
+def test_checkpoint_roundtrip(tiny_env, tmp_path):
+    """save_checkpoint/load_checkpoint restore the full PPO training state
+    (reference ckpt path logic: util/pytorch.py:27-48)."""
+    from furniture_tpu.utils.checkpoint import (
+        checkpoint_step,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    init, train = rl.make_ppo(
+        tiny_env,
+        rl.PPOConfig(num_envs=4, rollout_len=4, epochs=1, num_minibatches=2,
+                     hidden=(16, 16)),
+    )
+    st = init(jax.random.PRNGKey(0))
+    st, _ = train(st)
+    save_checkpoint(str(tmp_path), st, 0)
+    st, _ = train(st)
+    save_checkpoint(str(tmp_path), st, 1)
+
+    path = latest_checkpoint(str(tmp_path))
+    assert path is not None and checkpoint_step(path) == 1
+    restored = load_checkpoint(path, init(jax.random.PRNGKey(7)))
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pruning: keep=1 leaves only the newest
+    save_checkpoint(str(tmp_path), st, 2, keep=1)
+    assert checkpoint_step(latest_checkpoint(str(tmp_path))) == 2
+    import os
+    assert len([n for n in os.listdir(tmp_path) if n.startswith("ckpt_")]) == 1
+
+
+def test_evaluate_success_rate(tiny_env):
+    """make_evaluate runs deterministic policy rollouts and reports
+    success_rate/mean_reward/mean_episode_len (the reference's eval-HDF5
+    success aggregation, collect_results.py:10-32)."""
+    init, _ = rl.make_ppo(
+        tiny_env, rl.PPOConfig(num_envs=2, rollout_len=2, hidden=(16, 16))
+    )
+    st = init(jax.random.PRNGKey(0))
+    evaluate = rl.make_evaluate(tiny_env, rl.ppo_act, n_episodes=4, max_steps=3)
+    m = evaluate(st.params, jax.random.PRNGKey(1))
+    assert 0.0 <= float(m["success_rate"]) <= 1.0
+    assert np.isfinite(float(m["mean_reward"]))
+    assert 0.0 <= float(m["mean_episode_len"]) <= 3.0

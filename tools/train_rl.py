@@ -41,6 +41,13 @@ def main():
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel devices (0 = single-device)")
     p.add_argument("--platform", default=None, help="force jax platform")
+    p.add_argument("--ckpt_every", type=int, default=50,
+                   help="checkpoint interval in train iters (0 = off)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest checkpoint in run_dir")
+    p.add_argument("--eval_episodes", type=int, default=64,
+                   help="final success-rate eval episodes (0 = skip)")
+    p.add_argument("--eval_max_steps", type=int, default=200)
     args = p.parse_args()
 
     if args.platform:
@@ -51,6 +58,12 @@ def main():
 
     from furniture_tpu.api import get_env, _resolve_config
     from furniture_tpu import rl
+    from furniture_tpu.utils.checkpoint import (
+        checkpoint_step,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
 
     os.makedirs(args.run_dir, exist_ok=True)
     metrics_f = open(os.path.join(args.run_dir, "metrics.jsonl"), "a")
@@ -69,7 +82,23 @@ def main():
         from furniture_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.mesh)
 
+    def maybe_resume(st):
+        """Restore the newest run_dir checkpoint into ``st`` (same
+        structure) and return (state, start_iter)."""
+        if not args.resume:
+            return st, 0
+        path = latest_checkpoint(args.run_dir)
+        if path is None:
+            return st, 0
+        print(json.dumps({"resumed_from": path}), flush=True)
+        return load_checkpoint(path, st), checkpoint_step(path) + 1
+
+    def maybe_ckpt(st, it, last=False):
+        if args.ckpt_every and (last or (it + 1) % args.ckpt_every == 0):
+            save_checkpoint(args.run_dir, st, it)
+
     t0 = time.time()
+    eval_fn = None
     if args.algo == "bc":
         import glob as _glob
         import numpy as np
@@ -78,11 +107,12 @@ def main():
         X, Y = rl.demos_to_dataset(demos)
         init, fit, predict = rl.make_bc(X.shape[-1], Y.shape[-1],
                                         rl.BCConfig(lr=args.lr))
-        st = init(key)
-        for ep in range(args.epochs):
+        st, start = maybe_resume(init(key))
+        for ep in range(start, args.epochs):
             st, m = fit(st, X, Y)
             if ep % 10 == 0 or ep == args.epochs - 1:
                 log(ep, m)
+            maybe_ckpt(st, ep, last=ep == args.epochs - 1)
         final = {"final_mse": float(m["mse"])}
     elif args.algo in ("ppo", "gail"):
         cfg = rl.PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
@@ -100,8 +130,8 @@ def main():
             disc_state, key = g_init(key)
             reward_fn = lambda o, a, r: disc_reward(disc_state.params)(o, a, r)
         init, train = rl.make_ppo(env, cfg, mesh=mesh, reward_fn=reward_fn)
-        st = init(key)
-        for it in range(args.iters):
+        st, start = maybe_resume(init(key))
+        for it in range(start, args.iters):
             st, m = train(st)
             if disc_update is not None:
                 # freshest on-policy batch for the discriminator
@@ -112,16 +142,32 @@ def main():
                 disc_state, dm = disc_update(disc_state, obs, acts)
                 m = {**m, **dm}
             log(it, m)
+            maybe_ckpt(st, it, last=it == args.iters - 1)
         final = {"reward_per_step": float(m["reward_per_step"])}
+        if args.eval_episodes:
+            eval_fn = rl.make_evaluate(
+                env, rl.ppo_act, args.eval_episodes, args.eval_max_steps
+            )
     else:  # sac
         init, train = rl.make_sac(env, rl.SACConfig(num_envs=args.num_envs,
                                                     lr=args.lr))
-        st = init(key)
-        for it in range(args.iters):
+        st, start = maybe_resume(init(key))
+        for it in range(start, args.iters):
             st, m = train(st)
             if it % 10 == 0 or it == args.iters - 1:
                 log(it, m)
+            maybe_ckpt(st, it, last=it == args.iters - 1)
         final = {"reward_per_step": float(m["reward_per_step"])}
+        if args.eval_episodes:
+            eval_fn = rl.make_evaluate(
+                env, rl.sac_act, args.eval_episodes, args.eval_max_steps
+            )
+
+    # final success-rate eval (reference eval HDF5 → collect_results.py:10-32)
+    if eval_fn is not None:
+        em = eval_fn(st.params, jax.random.PRNGKey(args.seed + 1))
+        final.update({k: float(v) for k, v in em.items()})
+        log("eval", em)
 
     result = {
         "algo": args.algo,
