@@ -13,10 +13,15 @@ Phase machine (``furniture_sawyer_gen.py:29-80``):
   5 align_conn  6 xy_move_conn  7 z_move_conn  8 align_conn_fine
   9 z_move_conn_fine  10 move_nogrip_safepos  11 part_done
 
-P-control primitives ``move_xy/move_xyz/move_z`` (:272-345) and 2D
-alignment ``align2D``/``align_gripsites``/``get_closest_xy_fwd`` (:214-270)
-are ported as branch-free jnp functions; recipe parameters (eps, magnitudes,
-waypoint offsets) are compiled into static per-subtask arrays.
+P-control primitives ``move_xy/move_xyz/move_z`` (:272-345) are ported as
+branch-free jnp functions; the reference's per-plane 2D alignment feedback
+(``align2D``/``align_gripsites``/``get_closest_xy_fwd`` :214-270) is
+replaced by exact world rotation-vector corrections (``_up_correction`` /
+``_fwd_correction``) mapped into the IK euler slots through the accumulated
+hand-target frame — the planar form is only well-conditioned near upright
+poses, while table_lack requires a 90° mid-air reorientation of the grasped
+leg. Recipe parameters (eps, magnitudes, waypoint offsets) are compiled
+into static per-subtask arrays.
 """
 
 from __future__ import annotations
@@ -56,8 +61,6 @@ class GenPolicyState(NamedTuple):
     safepos: jax.Array        # [MAXW,3] absolute waypoint targets
     safepos_len: jax.Array    # int32
     safepos_idx: jax.Array    # int32
-    t_fwd: jax.Array          # [2] cached target xy-forward
-    t_fwd_valid: jax.Array    # bool
     z_move_g_prev: jax.Array  # f32 griptip ratchet (:498-507)
     noise_wp: jax.Array       # [3] per-episode waypoint noise
     noise_ng: jax.Array       # [3] per-episode nogrip noise
@@ -99,59 +102,85 @@ def _move_z(cur, tgt, eps, conn_dist, fine=None):
     return d
 
 
-_FLIP_MARGIN = 0.35  # rad; see below
+def _wrap_pi(a):
+    return jnp.mod(a + jnp.pi, 2 * jnp.pi) - jnp.pi
 
 
-def _align2D(vec2, tgt2, eps):
-    """CCW in-plane rotation (radians) taking vec2 onto tgt2, with deadband
-    and gimbal-lock guard (the role of the reference's ``align2D`` :249-270).
-    Callers map the returned angle to euler actions with the sign rule
-    (−φ_x, +φ_y, −φ_z): the observed site vectors use the reference's row
-    convention and transform as v' = R(δ)⁻¹v under the env's right-multiplied
-    euler delta (see ``envs/arm.py:_ik_prepare``) — the same reason the
-    reference negates its align2D output.
-
-    Wrapped to the SHIFTED interval (-π+margin, π+margin]: a target ~180°
-    away sits exactly on the ±π wrap boundary, where any wobble of the held
-    part flips the commanded rotation direction every step and the
-    controller oscillates forever (observed on table_lack when the grasped
-    leg dangles conn-end-up). Shifting the branch cut off the flip
-    configuration makes the direction choice deterministic — the part
-    rotates through the full 180° instead of dithering."""
-    angle = T.angle_between2D(vec2, tgt2)
-    act = (
-        jnp.mod(angle + jnp.pi - _FLIP_MARGIN, 2 * jnp.pi)
-        - jnp.pi
-        + _FLIP_MARGIN
+def _shortest_arc(v, target):
+    """World rotation vector (axis·angle, radians) taking unit ``v`` onto
+    unit ``target``; picks a deterministic perpendicular axis at the
+    antiparallel singularity."""
+    c = jnp.clip(jnp.dot(v, target), -1.0, 1.0)
+    axis = T.cross(v, target)
+    n = jnp.linalg.norm(axis)
+    angle = jnp.arctan2(n, c)
+    # antiparallel fallback: any axis perpendicular to v
+    perp = jnp.where(
+        jnp.abs(v[0]) < 0.9,
+        jnp.array([1.0, 0.0, 0.0]),
+        jnp.array([0.0, 1.0, 0.0]),
     )
-    act = jnp.where(jnp.abs(act) < eps, 0.0, act)
-    lock = jnp.abs(vec2[0]) + jnp.abs(vec2[1]) < 0.5
-    return jnp.where(lock, 0.0, act)
+    anti = T.unit(T.cross(v, perp))
+    axis = jnp.where(n < 1e-6, jnp.where(c < 0, anti, jnp.zeros(3)), axis / jnp.maximum(n, 1e-8))
+    return axis * angle
 
 
-def _align_gripsites(gripvec2, gvec2, eps):
-    """Gripper-finger/grasp-vector xy alignment (:214-221): flip gripvec to
-    the nearer direction first, then the ccw angle onto the target."""
-    flip = T.angle_between(-gripvec2, gvec2) < T.angle_between(gripvec2, gvec2)
-    gv = jnp.where(flip, -gripvec2, gripvec2)
-    return _align2D(gv, gvec2, eps)
+def _up_correction(rel_quat, eps):
+    """World rotation vector aligning a held part's conn-site up row-vector
+    with the target site's (the predicate ``_is_aligned`` checks,
+    ``env/furniture.py:1057-1153``).
+
+    ``row2(R_g) == row2(R_t)  ⟺  (R_g R_tᵀ) e_z == e_z``; applying a world
+    rotation r to the held part maps ``rel = R_g R_tᵀ → R_r rel``, so the
+    exact correction is the shortest arc taking ``v = rel·e_z`` onto e_z.
+    This replaces the reference's per-plane ``align2D`` feedback
+    (``furniture_sawyer_gen.py:552-560``) — the planar decomposition of the
+    row-convention vectors is only well-conditioned near upright poses,
+    while the rotation-vector form is exact everywhere."""
+    v = T.quat_rotate(rel_quat, jnp.array([0.0, 0.0, 1.0]))
+    w = _shortest_arc(v, jnp.array([0.0, 0.0, 1.0]))
+    return jnp.where(jnp.linalg.norm(w) < eps, jnp.zeros(3), w)
 
 
-def _closest_xy_fwd(angles, angle_mask, has_angles, gfwd2, tfwd2):
-    """tconn xy-forward rotated by the allowed angle closest to gconn's
-    (:222-248)."""
-    base = T.angle_between2D(gfwd2, tfwd2)
-    min_plain = jnp.minimum(jnp.abs(base), jnp.abs(2 * jnp.pi + base))
+def _fwd_correction(rel_quat, angles, angle_mask, has_angles, eps):
+    """World-z rotation vector aligning the conn-site forward row-vectors up
+    to the connector's allowed angle set (site name angles,
+    ``env/furniture.py:1088-1131``; reference ``get_closest_xy_fwd``
+    :222-248). Valid once the up axes are aligned (rel ≈ R_z(θ))."""
+    vf = T.quat_rotate(rel_quat, jnp.array([1.0, 0.0, 0.0]))
+    theta = jnp.arctan2(vf[1], vf[0])
+    cand = jnp.deg2rad(angles)
+    err = _wrap_pi(cand - theta)
+    err = jnp.where(angle_mask, jnp.abs(err), jnp.inf)
+    best = jnp.argmin(err)
+    # sites with no angle list accept any xy orientation (reference
+    # get_closest_xy_fwd returns gfwd unchanged -> zero correction)
+    phi = jnp.where(has_angles, _wrap_pi(cand[best] - theta), 0.0)
+    phi = jnp.where(jnp.abs(phi) < eps, 0.0, phi)
+    return jnp.array([0.0, 0.0, 1.0]) * phi
 
-    rot = T.rotate_vector2D(tfwd2[None, :], angles * (jnp.pi / 180.0))  # [A,2]
-    xy = T.angle_between2D(gfwd2[None, :], rot)                          # [A]
-    xy = jnp.where((xy >= jnp.pi) & (xy < 2 * jnp.pi), 2 * jnp.pi - xy, xy)
-    xy = jnp.where((xy >= -2 * jnp.pi) & (xy < -jnp.pi), 2 * jnp.pi + xy, xy)
-    xy = jnp.where(angle_mask, jnp.abs(xy), jnp.inf)
-    best = jnp.argmin(xy)
-    better = xy[best] < min_plain
-    out = jnp.where(better, rot[best], tfwd2)
-    return jnp.where(has_angles, out, gfwd2)
+
+def _grip_fwd_correction(hand_quat, gvec2, eps):
+    """World-z rotation aligning the finger separation axis (hand body-y in
+    world — the finger slide joints' axis) with the grasp vector's xy
+    direction, nearest of the two senses (the goal of the reference's
+    ``align_gripsites``, :214-221)."""
+    f = T.quat_rotate(hand_quat, jnp.array([0.0, 1.0, 0.0]))[:2]
+    phi = _wrap_pi(jnp.arctan2(gvec2[1], gvec2[0]) - jnp.arctan2(f[1], f[0]))
+    # fingers are symmetric: rotate to the nearer of ±gvec
+    phi = jnp.where(phi > jnp.pi / 2, phi - jnp.pi, phi)
+    phi = jnp.where(phi < -jnp.pi / 2, phi + jnp.pi, phi)
+    phi = jnp.where(jnp.abs(phi) < eps, 0.0, phi)
+    return jnp.array([0.0, 0.0, 1.0]) * phi
+
+
+def _grip_up_correction(hand_quat, eps):
+    """World rotation pointing the gripper z-axis straight down (the role of
+    the reference's align_g yz/xz corrections toward ``align_g_tgt``,
+    :468-477)."""
+    w = T.quat_rotate(hand_quat, jnp.array([0.0, 0.0, 1.0]))
+    out = _shortest_arc(w, jnp.array([0.0, 0.0, -1.0]))
+    return jnp.where(jnp.linalg.norm(out) < eps, jnp.zeros(3), out)
 
 
 class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
@@ -216,8 +245,6 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             safepos=jnp.zeros((MAXW, 3)),
             safepos_len=jnp.array(0, jnp.int32),
             safepos_idx=jnp.array(0, jnp.int32),
-            t_fwd=jnp.zeros(2),
-            t_fwd_valid=jnp.array(False),
             z_move_g_prev=jnp.array(jnp.inf, jnp.float32),
             noise_wp=jax.random.uniform(k1, (3,), minval=0.0, maxval=2 * r),
             noise_ng=jax.random.uniform(k2, (3,), minval=0.0, maxval=2 * r),
@@ -250,7 +277,6 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             safepos=tgt,
             safepos_len=n,
             safepos_idx=jnp.array(0, jnp.int32),
-            t_fwd_valid=jnp.array(False),
             z_move_g_prev=jnp.array(jnp.inf, jnp.float32),
         )
 
@@ -264,8 +290,6 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         gripbase = self._gripbase_pos(fk_out)
         grip_pos, hand_quat = K.site_world(self.robot, fk_out, "right")
-        grip_up = T.up_vector_from_quat(hand_quat)
-        grip_fwd = T.forward_vector_from_quat(hand_quat)
         griptip = K.tip_world(self.robot, fk_out, "right")
 
         gl = self._site_pos(parts, jnp.asarray(st["gl"])[s])
@@ -277,10 +301,6 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         tconn = jnp.asarray(st["table_site"])[s]
         gconn_pos, gconn_quat = self._conn_pose(parts, gconn)
         tconn_pos, tconn_quat = self._conn_pose(parts, tconn)
-        g_up = T.up_vector_from_quat(gconn_quat)
-        t_up = T.up_vector_from_quat(tconn_quat)
-        g_fwd = T.forward_vector_from_quat(gconn_quat)
-        t_fwd3 = T.forward_vector_from_quat(tconn_quat)
 
         m = self.model
         angles = jnp.asarray(m.conn_angles, jnp.float32)[gconn]
@@ -288,10 +308,20 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         has_angles = jnp.asarray(m.conn_has_angles)[gconn]
         z_conn = jnp.asarray(self._z_conn)[s]
 
-        def cached_t_fwd(gen):
-            fresh = _closest_xy_fwd(angles, amask, has_angles, g_fwd[:2], t_fwd3[:2])
-            tf = jnp.where(gen.t_fwd_valid, gen.t_fwd, fresh)
-            return tf, gen._replace(t_fwd=tf, t_fwd_valid=jnp.array(True))
+        # relative conn-site rotation: the quantity every align phase
+        # controls (see _up_correction)
+        rel = T.quat_mul(gconn_quat, T.quat_inv(tconn_quat))
+        hand_tgt = env_state.hand_quat_init[0]
+
+        def to_act(omega_world):
+            """World rotation vector [rad] → euler action slots 3:6.
+
+            The env's ik mode composes euler deltas on the right of the
+            accumulated hand-target quat (``_do_ik_step`` semantics,
+            ``env/furniture.py:2917-2922``), i.e. +rotations about the hand
+            target's body axes; express the desired world correction in
+            that frame."""
+            return T.quat_rotate(T.quat_inv(hand_tgt), omega_world)
 
         a = jnp.zeros(8)
 
@@ -318,21 +348,18 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             )
 
         def ph_align_g(gen):
-            # world-axis rot actions: yz-plane ccw = +x, xz-plane ccw = -y,
-            # xy-plane ccw = +z
+            # point the gripper straight down + fingers across the grasp
+            # vector (reference align_g, furniture_sawyer_gen.py:460-487)
             act = a.at[6].set(-1.0)
-            # action sign rule for row-convention vectors (see arm._ik_prepare):
-            # euler = (-phi_x, +phi_y, -phi_z) for CCW in-plane corrections
-            ac_z = -_align_gripsites(grip_fwd[:2], g_vec[:2], self.rot_eps)
-            tgt = jnp.array([0.0, -1.0])
-            ac_x = -_align2D(grip_up[1:3], tgt, self.rot_eps)
-            ac_y = _align2D(grip_up[0::2], tgt, self.rot_eps)
-            rot_zero = (ac_x == 0) & (ac_y == 0) & (ac_z == 0)
+            w_up = _grip_up_correction(hand_quat, self.rot_eps)
+            w_fwd = _grip_fwd_correction(hand_quat, g_vec[:2], self.rot_eps)
+            rot = w_up + w_fwd
+            rot_zero = jnp.all(rot == 0.0)
             d, reached = _move_xy(grip_pos[:2], g_pos[:2], self.eps)
             act = jnp.where(
                 rot_zero,
                 act.at[0:2].set(d),
-                act.at[3:6].set(jnp.stack([ac_x, ac_y, ac_z])),
+                act.at[3:6].set(to_act(rot)),
             )
             skip = jnp.asarray(self._skip_align_g)[gen.part]
             advance = skip | (rot_zero & reached)
@@ -385,24 +412,17 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             )
 
         def ph_align_conn(gen):
+            # up axes first, then the allowed-angle xy rotation (reference
+            # align_conn, furniture_sawyer_gen.py:552-572)
             act = a.at[6].set(1.0)
-            ac_x = -_align2D(g_up[1:3], t_up[1:3], self.rot_eps)
-            ac_y = _align2D(g_up[0::2], t_up[0::2], self.rot_eps)
-            rot_zero = (ac_x == 0) & (ac_y == 0)
-            tf, gen2 = cached_t_fwd(gen)
-            ac_z = -_align2D(g_fwd[:2], tf, self.rot_eps)
-            gen = jax.tree.map(
-                lambda new, old: jnp.where(rot_zero, new, old), gen2, gen
-            )
-            done_rot = rot_zero & (ac_z == 0)
-            act = jnp.where(
-                rot_zero,
-                act.at[5].set(ac_z),
-                act.at[3:5].set(jnp.stack([ac_x, ac_y])),
-            )
+            w_up = _up_correction(rel, self.rot_eps)
+            up_zero = jnp.all(w_up == 0.0)
+            w_fwd = _fwd_correction(rel, angles, amask, has_angles, self.rot_eps)
+            done_rot = up_zero & jnp.all(w_fwd == 0.0)
+            rot = jnp.where(up_zero, w_fwd, w_up)
+            act = act.at[3:6].set(to_act(rot))
             return act, gen._replace(
                 phase=jnp.where(done_rot, XY_MOVE_CONN, gen.phase).astype(jnp.int32),
-                t_fwd_valid=gen.t_fwd_valid & ~done_rot,
             )
 
         def ph_xy_move_conn(gen):
@@ -428,30 +448,24 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         def ph_align_conn_fine(gen):
             act = a.at[6].set(1.0)
-            ac_x = -_align2D(g_up[1:3], t_up[1:3], self.rot_eps_fine)
-            ac_y = _align2D(g_up[0::2], t_up[0::2], self.rot_eps_fine)
-            rot_zero = (ac_x == 0) & (ac_y == 0)
-            tf, gen2 = cached_t_fwd(gen)
-            ac_z = -_align2D(g_fwd[:2], tf, self.rot_eps_fine)
-            gen = jax.tree.map(
-                lambda new, old: jnp.where(rot_zero, new, old), gen2, gen
+            w_up = _up_correction(rel, self.rot_eps_fine)
+            up_zero = jnp.all(w_up == 0.0)
+            w_fwd = _fwd_correction(
+                rel, angles, amask, has_angles, self.rot_eps_fine
             )
+            fwd_zero = jnp.all(w_fwd == 0.0)
             d, reached = _move_xy(gconn_pos[:2], tconn_pos[:2], self.eps_fine)
+            rot = jnp.where(up_zero, w_fwd, w_up)
             act = jnp.where(
-                rot_zero,
-                jnp.where(
-                    ac_z == 0,
-                    act.at[0:2].set(d),
-                    act.at[5].set(ac_z),
-                ),
-                act.at[3:5].set(jnp.stack([ac_x, ac_y])),
+                up_zero & fwd_zero,
+                act.at[0:2].set(d),
+                act.at[3:6].set(to_act(rot)),
             )
-            advance = rot_zero & (ac_z == 0) & reached
+            advance = up_zero & fwd_zero & reached
             return act, gen._replace(
                 phase=jnp.where(advance, Z_MOVE_CONN_FINE, gen.phase).astype(
                     jnp.int32
                 ),
-                t_fwd_valid=gen.t_fwd_valid & ~advance,
             )
 
         def ph_z_move_conn_fine(gen):
@@ -459,16 +473,13 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             d = _move_z(
                 gconn_pos, tconn_pos, self.eps_fine, z_conn, fine=self.fine_mag
             )
-            ac_x = -_align2D(g_up[1:3], t_up[1:3], self.rot_eps_fine)
-            ac_y = _align2D(g_up[0::2], t_up[0::2], self.rot_eps_fine)
-            rot_zero = (ac_x == 0) & (ac_y == 0)
-            tf, gen2 = cached_t_fwd(gen)
-            ac_z0 = -_align2D(g_fwd[:2], tf, self.rot_eps_fine)
-            ac_z = jnp.where(rot_zero, ac_z0, 0.0)
-            gen = jax.tree.map(
-                lambda new, old: jnp.where(rot_zero, new, old), gen2, gen
+            w_up = _up_correction(rel, self.rot_eps_fine)
+            up_zero = jnp.all(w_up == 0.0)
+            w_fwd = _fwd_correction(
+                rel, angles, amask, has_angles, self.rot_eps_fine
             )
-            act = act.at[0:3].set(d).at[3:6].set(jnp.stack([ac_x, ac_y, ac_z]))
+            rot = jnp.where(up_zero, w_fwd, w_up)
+            act = act.at[0:3].set(d).at[3:6].set(to_act(rot))
             done = jnp.all(act[0:6] == 0)
             act = jnp.where(done, act.at[7].set(1.0), act)
             # safepos <- gripbase + nogrip_safepos offsets

@@ -21,10 +21,12 @@ from furniture_tpu.envs.sawyer_gen import (
     FurnitureSawyerGenEnv,
     GenPolicyState,
     MOVE_WAYPOINTS,
-    _align2D,
     _move_xy,
     _move_z,
+    _shortest_arc,
+    _up_correction,
 )
+from furniture_tpu import transforms as T
 
 
 @pytest.fixture(scope="module")
@@ -76,15 +78,37 @@ def test_gen_primitives():
     assert bool(d[0] == 1.0) and not bool(reached)  # saturated to sign
     d, reached = _move_xy(jnp.zeros(2), jnp.array([0.005, 0.0]), 0.01)
     assert bool(reached)
-    # align2D: rotating (1,0) onto (0,1) is +90° ccw
-    act = _align2D(jnp.array([1.0, 0.0]), jnp.array([0.0, 1.0]), 0.01)
-    np.testing.assert_allclose(float(act), np.pi / 2, atol=1e-5)
-    # deadband
-    act = _align2D(jnp.array([1.0, 0.001]), jnp.array([1.0, 0.0]), 0.01)
-    assert float(act) == 0.0
+    # shortest arc x->y is +90° about z
+    w = _shortest_arc(jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    np.testing.assert_allclose(
+        np.asarray(w), [0.0, 0.0, np.pi / 2], atol=1e-5
+    )
+    # antiparallel case returns a finite pi-rotation, not NaN
+    w = _shortest_arc(jnp.array([0.0, 0.0, 1.0]), jnp.array([0.0, 0.0, -1.0]))
+    assert np.isfinite(np.asarray(w)).all()
+    np.testing.assert_allclose(float(jnp.linalg.norm(w)), np.pi, atol=1e-5)
     # move_z fine scaling clips at 0.02
     d = _move_z(jnp.zeros(3), jnp.array([0.0, 0.0, 0.3]), 0.005, 0.0, fine=3.0)
     assert abs(float(d[2]) - 0.02) < 1e-6
+
+
+def test_up_correction_converges():
+    """Iterating rel' = exp(w/2) ⊗ rel drives the up rows together from any
+    start — the exactness property the align phases rely on."""
+    key = jax.random.PRNGKey(5)
+    for i in range(4):
+        key, k = jax.random.split(key)
+        rel = T.quat_normalize(jax.random.normal(k, (4,)))
+        for _ in range(12):
+            w = _up_correction(rel, 0.0)
+            w = jnp.clip(w, -0.3, 0.3)  # emulate per-step rotation limits
+            r = T.quat_from_axis_angle(
+                w / jnp.maximum(jnp.linalg.norm(w), 1e-9),
+                jnp.linalg.norm(w),
+            )
+            rel = T.quat_mul(r, rel)
+        v = T.quat_rotate(rel, jnp.array([0.0, 0.0, 1.0]))
+        assert float(v[2]) > 0.999, f"start {i}: v={v}"
 
 
 def test_gen_policy_progression():
