@@ -38,6 +38,12 @@ BASELINES = {
     "cursor": 491.0,           # docs/more_info.md:35 (Cursor, no render)
     "sawyer_impedance": 225.0,  # docs/more_info.md:35
     "sawyer_ik": 44.0,          # docs/more_info.md:35
+    "baxter_impedance": 158.0,  # docs/more_info.md:35
+    "baxter_ik": 28.0,          # docs/more_info.md:35
+    # reference render-on rows (docs/more_info.md:36-39): Sawyer impedance
+    # with low-quality 200x200 Unity frames = 65; Cursor 500x500 high = 42
+    "sawyer_impedance_render200": 65.0,
+    "cursor_render500": 42.0,
     # reference MPC baseline does not exist (the reference has no planner);
     # vs_baseline for MPC metrics is vs real-time at control_freq=10.
     "mppi": 10.0,
@@ -105,13 +111,67 @@ def throughput(env, batch: int, horizon: int = 10, reps: int = 5) -> float:
     return batch * horizon / dt
 
 
+def render_throughput(
+    env, batch: int, width: int = 200, height: int = 200,
+    horizon: int = 5, reps: int = 3,
+) -> float:
+    """Env steps/s with a per-step camera render (the reference's
+    render-on FPS rows, ``docs/more_info.md:36-39``: Unity ships a frame
+    every step; here the raycast renderer draws on-device)."""
+    from furniture_tpu.render import frontview, make_render_fn
+
+    cam = frontview(width, height)
+    render = make_render_fn(env, cam)
+    batched = getattr(env, "has_batch_api", False)
+    step = env.step_batch if batched else jax.vmap(env.step)
+    reset = env.reset_batch if batched else jax.vmap(env.reset)
+
+    @jax.jit
+    def rollout(states, key):
+        def body(carry, _):
+            states, key = carry
+            key, k_act = jax.random.split(key)
+            actions = jax.random.uniform(
+                k_act, (batch, env.dof), minval=-1.0, maxval=1.0
+            )
+            states, obs, rew, done, info = step(states, actions)
+            rgb, depth, seg = jax.vmap(render)(states)
+            return (states, key), rgb.astype(jnp.float32).mean()
+
+        (states, _), frames = jax.lax.scan(
+            body, (states, key), None, length=horizon
+        )
+        return states, frames.sum()
+
+    key = jax.random.PRNGKey(0)
+    states = jax.jit(reset)(jax.random.split(key, batch))
+    dt = _median_time(
+        rollout,
+        (states, key),
+        reps,
+        evolve=lambda args, out, i: (out[0], jax.random.fold_in(args[1], i)),
+    )
+    return batch * horizon / dt
+
+
 def bench_mppi(reps: int = 5) -> float:
     """MPPI plan-iterations/s: 64-step horizon, 256 sample rollouts on
     table_lack (BASELINE.md: "64-step MPC on table_lack"). One solve = one
-    full plan iteration = 16384 megakernel env steps + weight update."""
-    from furniture_tpu.planning import MPPIConfig, make_mppi
+    full plan iteration = 16384 megakernel env steps + weight update.
 
-    env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
+    The planner rolls out a coarsened internal model (10 physics substeps
+    per control step instead of 50, 8 solver iters instead of 24 — the
+    standard MPC practice of planning on a cheaper model than the one you
+    execute on; ``bench_ilqr`` uses the same substep coarsening)."""
+    from furniture_tpu.planning import MPPIConfig, make_mppi
+    from furniture_tpu.config import SimConfig
+
+    env = CursorEnv(
+        EnvConfig(
+            furniture_name="table_lack_0825",
+            sim=SimConfig(timestep=0.01, solver_iters=8),
+        )
+    )
     cfg = MPPIConfig(horizon=64, n_samples=256, sigma=0.3)
     plan = jax.jit(make_mppi(env, cfg))
     state = env.reset(jax.random.PRNGKey(0))
@@ -191,33 +251,65 @@ def emit(name: str, value: float, unit: str, baseline: float, out=sys.stderr):
 def main():
     results = {}
 
+    def attempt(name, fn):
+        try:
+            results[name] = fn()
+        except Exception as e:  # one failed metric must not kill the bench
+            print(
+                json.dumps({"metric": name, "error": repr(e)[:200]}),
+                file=sys.stderr, flush=True,
+            )
+
     env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
     results["cursor"] = throughput(env, batch=4096, horizon=20)
 
-    env = ArmEnv(EnvConfig(agent_type="Sawyer", control_type="impedance"))
-    results["sawyer_impedance"] = throughput(env, batch=512, reps=3)
+    attempt("sawyer_impedance", lambda: throughput(
+        ArmEnv(EnvConfig(agent_type="Sawyer", control_type="impedance")),
+        batch=512, reps=3))
+    attempt("sawyer_ik", lambda: throughput(
+        ArmEnv(EnvConfig(agent_type="Sawyer", control_type="ik")),
+        batch=256, reps=3))
+    attempt("baxter_impedance", lambda: throughput(
+        ArmEnv(EnvConfig(agent_type="Baxter", control_type="impedance")),
+        batch=256, reps=3))
+    attempt("baxter_ik", lambda: throughput(
+        ArmEnv(EnvConfig(agent_type="Baxter", control_type="ik")),
+        batch=128, reps=3))
+    attempt("sawyer_impedance_render200", lambda: render_throughput(
+        ArmEnv(EnvConfig(agent_type="Sawyer", control_type="impedance")),
+        batch=128, width=200, height=200, reps=3))
+    attempt("cursor_render500", lambda: render_throughput(
+        CursorEnv(EnvConfig(furniture_name="table_lack_0825")),
+        batch=32, width=500, height=500, reps=3))
 
-    env = ArmEnv(EnvConfig(agent_type="Sawyer", control_type="ik"))
-    results["sawyer_ik"] = throughput(env, batch=256, reps=3)
+    attempt("mppi", bench_mppi)
+    attempt("ilqr", bench_ilqr)
 
-    results["mppi"] = bench_mppi()
-    results["ilqr"] = bench_ilqr()
-
-    for name in ("sawyer_impedance", "sawyer_ik"):
+    for name in (
+        "sawyer_impedance",
+        "sawyer_ik",
+        "baxter_impedance",
+        "baxter_ik",
+        "sawyer_impedance_render200",
+        "cursor_render500",
+    ):
+        if name in results:
+            emit(
+                f"{name}_env_steps_per_s_per_chip",
+                results[name],
+                "env_steps/s",
+                BASELINES[name],
+            )
+    if "mppi" in results:
         emit(
-            f"{name}_env_steps_per_s_per_chip",
-            results[name],
-            "env_steps/s",
-            BASELINES[name],
+            "mppi_mpc_solves_per_s_h64_s256", results["mppi"], "solves/s",
+            BASELINES["mppi"],
         )
-    emit(
-        "mppi_mpc_solves_per_s_h64_s256", results["mppi"], "solves/s",
-        BASELINES["mppi"],
-    )
-    emit(
-        "ilqr_mpc_solves_per_s_h64", results["ilqr"], "solves/s",
-        BASELINES["ilqr"],
-    )
+    if "ilqr" in results:
+        emit(
+            "ilqr_mpc_solves_per_s_h64", results["ilqr"], "solves/s",
+            BASELINES["ilqr"],
+        )
 
     emit(
         "cursor_env_steps_per_s_per_chip",

@@ -67,6 +67,13 @@ class SimConfig:
     # grasp (reference grippers squeeze with kp≈1e4-1e6 servos) would track
     # the wrist rigidly; this blend restores that force closure.
     grip_torsion: float = 0.3
+    # linear grip assist: per-substep blend of a pinched group's linear
+    # velocity toward the mean finger-surface velocity at the active grasp
+    # contacts (0 disables). Finger friction impulses alone are bounded by
+    # the kinematic squeeze depth, so a carried part slips out under the
+    # eef accelerations the scripted generator commands (move_speed=0.1 m
+    # per control step), where MuJoCo's force-closed servos track rigidly.
+    grip_linear: float = 0.3
     # gravity-compensate a pinched part's group while it is held between
     # both fingers: the torsion damper above cancels relative angular
     # VELOCITY but not the steady gravity torque about the grasp line, so a

@@ -373,10 +373,57 @@ class ArmEnv:
             # the hand's — restoring the force closure MuJoCo's high-kp
             # finger servos provide, which point-contact friction alone
             # cannot (almost no torque about the pad normal)
-            if cfg.grip_torsion > 0:
+            if cfg.grip_torsion > 0 or cfg.grip_linear > 0:
                 lane_part = jnp.asarray(self._lane_part)
                 av = parts2.ang_vel
+                lv = parts2.lin_vel
+                # suppress the blends for groups with active NON-finger
+                # contacts (floor / other parts): the post-solve velocity
+                # override otherwise turns a held part into an unstoppable
+                # hammer — repeated penetration resolution pumps energy into
+                # whatever it presses against (observed: tabletops launched
+                # airborne when a held leg was lowered onto them). With the
+                # blend suppressed, the contact solver arbitrates the
+                # grip-vs-obstacle fight through the finger friction lanes.
+                from ..physics.collide import (
+                    floor_contacts as _fc,
+                    pair_contacts as _pc,
+                )
+
+                fc = _fc(
+                    self.tables, parts2.pos, parts2.quat, cfg.contact_slop
+                )
+                ext = (
+                    jax.ops.segment_max(
+                        fc.mask.astype(jnp.int32),
+                        fc.part_a,
+                        num_segments=self._P,
+                    )
+                    > 0
+                )
+                pc = _pc(
+                    self.tables, parts2.pos, parts2.quat, state.group,
+                    cfg.contact_slop,
+                )
+                for side in (pc.part_a, pc.part_b):
+                    ext = ext | (
+                        jax.ops.segment_max(
+                            pc.mask.astype(jnp.int32),
+                            side,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                ext_g = jnp.any(
+                    (state.group[:, None] == state.group[None, :])
+                    & ext[None, :],
+                    axis=1,
+                )
+                blend_on = ~ext_g
                 for arm in self.arms:
+                    fing = jnp.asarray(self._lane_l[arm]) | jnp.asarray(
+                        self._lane_r[arm]
+                    )
                     tl = (
                         jax.ops.segment_max(
                             (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
@@ -403,13 +450,40 @@ class ArmEnv:
                         & pin[None, :],
                         axis=1,
                     )
-                    w_h = K.body_angvel(r, fk_out, qvel, r.eef_body[arm])
-                    av = jnp.where(
-                        pin_g[:, None],
-                        av + cfg.grip_torsion * (w_h[None] - av),
-                        av,
-                    )
-                parts2 = parts2._replace(ang_vel=av)
+                    if cfg.grip_torsion > 0:
+                        w_h = K.body_angvel(r, fk_out, qvel, r.eef_body[arm])
+                        av = jnp.where(
+                            (pin_g & blend_on)[:, None],
+                            av + cfg.grip_torsion * (w_h[None] - av),
+                            av,
+                        )
+                    if cfg.grip_linear > 0:
+                        # mean finger-surface velocity over the group's
+                        # active grasp lanes (extra.vel_b is the prescribed
+                        # kinematic-collider velocity per lane); aggregated
+                        # per group so the replicated group velocity stays
+                        # consistent across members
+                        act = (extra.mask & fing).astype(jnp.float32)
+                        vsum = jax.ops.segment_sum(
+                            extra.vel_b * act[:, None],
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        cnt = jax.ops.segment_sum(
+                            act, lane_part, num_segments=self._P
+                        )
+                        member = (
+                            state.group[:, None] == state.group[None, :]
+                        ).astype(jnp.float32)
+                        gv = member @ vsum
+                        gc = member @ cnt
+                        v_h = gv / jnp.maximum(gc, 1.0)[:, None]
+                        lv = jnp.where(
+                            (pin_g & blend_on & (gc > 0))[:, None],
+                            lv + cfg.grip_linear * (v_h - lv),
+                            lv,
+                        )
+                parts2 = parts2._replace(ang_vel=av, lin_vel=lv)
             qpos2, qvel2 = K.integrate_precomputed(
                 r, G1, G2, qpos, qvel, tau, p_c, cfg.timestep
             )
@@ -800,7 +874,12 @@ class ArmEnv:
             g1 = st.group[target_part]
             in1 = conn_group == g1
             in2 = jnp.ones(self._C, bool)
-            return self.ops.try_connect(st, in1, in2)
+            # arm agents snap+weld on a single aligned connect press:
+            # ``_num_connect_steps = 0`` for every agent except Cursor
+            # (env/furniture.py:157 vs furniture_cursor.py:32), and the
+            # reference's interpolation runs INSIDE one env.step
+            # (``_move_objects_target``, env/furniture.py:1007-1022)
+            return self.ops.try_connect(st, in1, in2, num_connect_steps=0)
 
         state = jax.lax.cond(
             (connect > 0) & any_touch,

@@ -1012,27 +1012,85 @@ class ArmMegaPhysics:
             # _sim_substeps): blend a pinched group's angular velocity toward
             # the hand's — applied to the carried velocity, like the XLA path
             gt = getattr(cfg, "grip_torsion", 0.0)
-            if gt > 0:
+            gl = getattr(cfg, "grip_linear", 0.0)
+            if gt > 0 or gl > 0:
+                # suppress the blends for groups with active NON-finger
+                # contacts (floor / other parts): same rule as the XLA path
+                # (envs/arm grip blend) — the post-solve velocity override
+                # must not fight the contact solver or it pumps energy into
+                # whatever the held part presses against
+                ext_rows = []
+                for p in range(P):
+                    fl = jnp.max(
+                        jnp.where(FMP[p] > 0, fmask_f, 0.0),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    if self.Kp:
+                        pa = jnp.max(
+                            OAp[:, p : p + 1] * fmask_p, axis=0, keepdims=True
+                        )
+                        pb = jnp.max(
+                            OBp[:, p : p + 1] * fmask_p, axis=0, keepdims=True
+                        )
+                        fl = jnp.maximum(fl, jnp.maximum(pa, pb))
+                    ext_rows.append(fl)
+                ext = jnp.concatenate(ext_rows, axis=0)          # [P,Bb]
+                ext_g = jnp.max(member * ext[None, :, :], axis=1)
+                blend_on = ext_g <= 0
+
+                # per-part active-finger-lane velocity sums/counts (TMAP
+                # rows are (arm, side, part) one-hot over robot lanes)
+                if gl > 0:
+                    vr_act = tuple(c * rmask for c in velb_r)
+                    vs = tuple(
+                        jnp.dot(TMAP, c, preferred_element_type=jnp.float32)
+                        for c in vr_act
+                    )                                            # [NT,Bb]
+                    cnts = jnp.dot(
+                        TMAP, rmask, preferred_element_type=jnp.float32
+                    )
                 for a_i in range(self.n_arms):
                     tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
                     tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
                     pin = tl * tr                                     # [P,Bb]
                     pin_g = jnp.max(member * pin[None, :, :], axis=1)
-                    anc_h = self._eef_anc[a_i]
-                    whx = jnp.zeros_like(qv[0:1])
-                    why = jnp.zeros_like(qv[0:1])
-                    whz = jnp.zeros_like(qv[0:1])
-                    for j in range(NJ):
-                        if anc_h[j] == 0.0:
-                            continue
-                        qvj = qv[j : j + 1]
-                        whx = whx + qvj * axis_w[j][0]
-                        why = why + qvj * axis_w[j][1]
-                        whz = whz + qvj * axis_w[j][2]
-                    av = tuple(
-                        jnp.where(pin_g > 0, c + gt * (wh - c), c)
-                        for c, wh in zip(av, (whx, why, whz))
-                    )
+                    if gt > 0:
+                        anc_h = self._eef_anc[a_i]
+                        whx = jnp.zeros_like(qv[0:1])
+                        why = jnp.zeros_like(qv[0:1])
+                        whz = jnp.zeros_like(qv[0:1])
+                        for j in range(NJ):
+                            if anc_h[j] == 0.0:
+                                continue
+                            qvj = qv[j : j + 1]
+                            whx = whx + qvj * axis_w[j][0]
+                            why = why + qvj * axis_w[j][1]
+                            whz = whz + qvj * axis_w[j][2]
+                        av = tuple(
+                            jnp.where(
+                                (pin_g > 0) & blend_on, c + gt * (wh - c), c
+                            )
+                            for c, wh in zip(av, (whx, why, whz))
+                        )
+                    if gl > 0:
+                        # group-aggregated mean finger-surface velocity
+                        # (same group blend as envs/arm grip_linear)
+                        l0, l1 = (2 * a_i) * P, (2 * a_i + 1) * P
+                        r0, r1 = l1, (2 * a_i + 2) * P
+                        vs_p = tuple(c[l0:l1] + c[r0:r1] for c in vs)
+                        cnt_p = cnts[l0:l1] + cnts[r0:r1]         # [P,Bb]
+                        gvs = tuple(
+                            jnp.sum(member * c[None, :, :], axis=1)
+                            for c in vs_p
+                        )
+                        gc = jnp.sum(member * cnt_p[None, :, :], axis=1)
+                        blend = (pin_g > 0) & (gc > 0) & blend_on
+                        denom = jnp.maximum(gc, 1.0)
+                        lv = tuple(
+                            jnp.where(blend, c + gl * (g / denom - c), c)
+                            for c, g in zip(lv, gvs)
+                        )
 
             return (new_pos, new_quat, lv, av, qp_cl, qv_new, touch_new)
 

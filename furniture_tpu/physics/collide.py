@@ -151,13 +151,20 @@ def _geom_world(model_np, state_pos, state_quat):
 
 
 def geom_box_sizes(model_np) -> np.ndarray:
-    """Effective box half-extents per geom (sphere r,r,r; cylinder r,r,h)."""
+    """Effective box half-extents per geom (sphere r,r,r; cylinder r,r,h).
+
+    Cylinder geoms store MuJoCo ``size = (radius, half-length)``; the box
+    rep is (r, r, half-length) — the half-length moves to z BEFORE the
+    radius overwrites slot 1 (a prior version dropped it, leaving every
+    cylinder a zero-thickness disk that never collided: the swivel-chair
+    column could not be grasped at its recorded demo states)."""
     size = np.array(model_np["geom_size"], dtype=np.float32).copy()
     gtype = np.asarray(model_np["geom_type"])
     sphere = gtype == 1
     size[sphere, 1] = size[sphere, 0]
     size[sphere, 2] = size[sphere, 0]
     cyl = gtype == 2
+    size[cyl, 2] = size[cyl, 1]
     size[cyl, 1] = size[cyl, 0]
     return size
 

@@ -149,6 +149,46 @@ def test_grasp_lift_release(env, reset_state, step):
     assert gap > 0.2, "part still glued to the hand after release"
 
 
+def test_fast_transport_keeps_grip(env, reset_state, step):
+    """A pinched part must track the hand through full-speed lateral
+    transport (SimConfig.grip_linear): the scripted generator carries legs
+    at move_speed=0.1 m/control-step, where finger friction impulses alone
+    let the part slip out (MuJoCo's force-closed servos track rigidly)."""
+    s = reset_state
+    fk = K.fk(env.robot, s.qpos)
+    gp, _ = K.site_world(env.robot, fk, "right")
+    pos = np.asarray(s.parts.pos).copy()
+    pos[0] = np.asarray(gp) + [0.0, 0.0, -0.02]
+    s = s._replace(parts=s.parts._replace(pos=jnp.asarray(pos)))
+
+    close = jnp.zeros(env.dof).at[6].set(1.0)
+    for _ in range(3):
+        s, *_ = step(s, close)
+    lift = jnp.zeros(env.dof).at[2].set(1.0).at[6].set(1.0)
+    for _ in range(4):
+        s, *_ = step(s, lift)
+    assert bool(np.asarray(s.touch_l)[0, 0] & np.asarray(s.touch_r)[0, 0])
+
+    # full-speed lateral carry (the XY_MOVE_CONN regime)
+    carry = jnp.zeros(env.dof).at[1].set(1.0).at[6].set(1.0)
+    fk0 = K.fk(env.robot, s.qpos)
+    h0, _ = K.eef_pose(env.robot, fk0, "right")
+    p0 = np.asarray(s.parts.pos[0]).copy()
+    for _ in range(6):
+        s, *_ = step(s, carry)
+    fk1 = K.fk(env.robot, s.qpos)
+    h1, _ = K.eef_pose(env.robot, fk1, "right")
+    dh = np.asarray(h1 - h0)
+    dp = np.asarray(s.parts.pos[0]) - p0
+    assert np.linalg.norm(dh) > 0.08, f"hand did not transport ({dh})"
+    assert bool(
+        np.asarray(s.touch_l)[0, 0] & np.asarray(s.touch_r)[0, 0]
+    ), "part slipped out during fast transport"
+    assert np.linalg.norm(dp - dh) < 0.06, (
+        f"part did not track the hand: hand {dh}, part {dp}"
+    )
+
+
 def test_observation_layout(env, reset_state):
     obs = env.observe(reset_state)
     # ik robot_ob: gripper_qpos(2) + eef_pos(3) + eef_quat(4) + velp(3) + velr(3)

@@ -72,3 +72,230 @@ def test_replay_reference_cursor_demo():
     assert np.mean(cursor_errs) < 0.15, f"cursor err {np.mean(cursor_errs)}"
     # free-part trajectories stay within tolerance despite solver differences
     assert np.mean(part_errs) < 0.25, f"part err {np.mean(part_errs)}"
+
+
+# -- arm demos ---------------------------------------------------------------
+#
+# The shipped arm demos (Sawyer_7.pkl, Baxter_0.pkl) predate the reference's
+# CURRENT action conventions: regressing the recorded per-step eef deltas
+# (via FK of the stored joint trajectories) against the stored actions gives
+# world_dpos ≈ 0.25·[a1, −a0, a2] — the OPPOSITE x/y sign of today's
+# `_do_ik_step` map [−a1, a0, a2]·move_speed (env/furniture.py:2913-2915),
+# and the rotation column a3 rotates the hand about world +z where today's
+# code routes it through euler-x. Verbatim open-loop replay of these demos
+# therefore reproduces the trajectory in no current engine (including the
+# reference itself). What IS well-defined engine-independently is the
+# recorded *state* trajectory: joint path, hand path, part motion, connect
+# events. These tests replay the demos as trajectory-tracking runs — the
+# recorded hand pose stream drives our IK (exactly how the VR teleop that
+# produced the demos drove the reference, env/furniture.py:2307-2321), the
+# recorded gripper/connect channels replay verbatim — and assert our
+# dynamics reproduce the hand path, the part trajectories, and the connect.
+
+from furniture_tpu.envs.arm import ArmEnv
+from furniture_tpu.robots import kinematics as K
+from furniture_tpu import transforms as T
+
+SAWYER_DEMO = "/root/reference/demos/Sawyer_7.pkl"
+BAXTER_DEMO = "/root/reference/demos/Baxter_0.pkl"
+
+
+def _arm_state_from_demo(env, q0, joint_key, grip_keys):
+    """ArmState at the demo's recorded initial configuration."""
+    r = env.robot
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    qpos = np.asarray(s.qpos).copy()
+    off = 0
+    for arm in env.arms:
+        idx = np.asarray(r.arm_joints[arm])
+        qpos[idx] = np.asarray(q0[joint_key])[off : off + len(idx)]
+        off += len(idx)
+    for arm, gk in zip(env.arms, grip_keys):
+        qpos[np.asarray(r.gripper_joints[arm])] = q0[gk]
+    pos = np.stack([np.asarray(q0[n][:3]) for n in env.model.part_names])
+    quat = np.stack([np.asarray(q0[n][3:]) for n in env.model.part_names])
+    qpos_j = jnp.asarray(qpos, jnp.float32)
+    fk = K.fk(r, qpos_j)
+    tpos, hqi = [], []
+    for arm in env.arms:
+        hp, hq = K.eef_pose(r, fk, arm)
+        tpos.append(hp)
+        hqi.append(hq)
+    return s._replace(
+        qpos=qpos_j,
+        qvel=jnp.zeros_like(qpos_j),
+        parts=s.parts._replace(
+            pos=jnp.asarray(pos, jnp.float32),
+            quat=jnp.asarray(quat, jnp.float32),
+            lin_vel=jnp.zeros_like(s.parts.lin_vel),
+            ang_vel=jnp.zeros_like(s.parts.ang_vel),
+        ),
+        ik_target_pos=jnp.stack(tpos),
+        hand_quat_init=jnp.stack(hqi),
+    )
+
+
+def _ref_hand_traj(env, demo, joint_key):
+    """Recorded hand pose stream per arm via our FK of the stored joints."""
+    r = env.robot
+    base = jnp.asarray(np.asarray(r.init_qpos, np.float32))
+
+    @jax.jit
+    def hands(qarm):
+        qp = base
+        off = 0
+        for arm in env.arms:
+            idx = jnp.asarray(np.asarray(r.arm_joints[arm]))
+            qp = qp.at[idx].set(qarm[off : off + len(idx)])
+            off += len(idx)
+        fk = K.fk(r, qp)
+        out = []
+        for arm in env.arms:
+            hp, hq = K.eef_pose(r, fk, arm)
+            out.append((hp, hq))
+        return out
+
+    Q = jnp.asarray(
+        np.stack([np.asarray(q[joint_key], np.float32) for q in demo["qpos"]])
+    )
+    return jax.vmap(hands)(Q)
+
+
+def _track_action(env, s, t, ref_traj, grip_conn):
+    """IK action tracking the recorded hand stream at step t."""
+    cfg = env.config
+    r = env.robot
+    fk = K.fk(r, s.qpos)
+    acts = []
+    rs_rad = np.deg2rad(cfg.rotate_speed)
+    for i, arm in enumerate(env.arms):
+        hp, hq = K.eef_pose(r, fk, arm)
+        ref_p = ref_traj[i][0][t + 1]
+        ref_q = ref_traj[i][1][t + 1]
+        a_pos = jnp.clip((ref_p - hp) / (0.3 * cfg.move_speed), -1.0, 1.0)
+        dq = T.quat_mul(ref_q, T.quat_inv(hq))
+        dq = jnp.where(dq[0] < 0, -dq, dq)
+        ang = 2.0 * jnp.arccos(jnp.clip(dq[0], -1.0, 1.0))
+        axis = dq[1:] / jnp.maximum(jnp.sin(ang / 2.0), 1e-8)
+        omega = axis * ang
+        om_b = T.quat_rotate(T.quat_inv(s.hand_quat_init[i]), omega)
+        a_rot = jnp.clip(om_b / (0.3 * rs_rad), -1.0, 1.0)
+        acts.append(jnp.concatenate([a_pos, a_rot]))
+    return jnp.concatenate(acts + [jnp.asarray(grip_conn, jnp.float32)])
+
+
+def _replay_tracking(env, demo, joint_key, grip_keys, n_steps, grip_cols):
+    s = _arm_state_from_demo(env, demo["qpos"][0], joint_key, grip_keys)
+    ref_traj = _ref_hand_traj(env, demo, joint_key)
+    step = jax.jit(env.step)
+    act_fn = jax.jit(lambda s, t, gc: _track_action(env, s, t, ref_traj, gc))
+    eef_errs, part_errs = [], []
+    A = np.stack([np.asarray(a) for a in demo["actions"]])
+    for t in range(n_steps):
+        gc = A[t, grip_cols]
+        a = act_fn(s, t, jnp.asarray(gc, jnp.float32))
+        s, obs, rew, done, info = step(s, a)
+        fk = K.fk(env.robot, s.qpos)
+        hp, _ = K.eef_pose(env.robot, fk, env.arms[0])
+        eef_errs.append(
+            float(jnp.linalg.norm(hp - ref_traj[0][0][t + 1]))
+        )
+        qt = demo["qpos"][t + 1]
+        ref_pos = np.stack(
+            [np.asarray(qt[n][:3]) for n in env.model.part_names]
+        )
+        part_errs.append(
+            float(
+                np.linalg.norm(
+                    np.asarray(s.parts.pos) - ref_pos, axis=-1
+                ).mean()
+            )
+        )
+    return s, np.asarray(eef_errs), np.asarray(part_errs)
+
+
+@pytest.mark.skipif(not os.path.exists(SAWYER_DEMO), reason="demo absent")
+def test_replay_reference_sawyer_demo():
+    """Sawyer_7.pkl (swivel chair): our arm stack must reproduce the
+    recorded hand path, keep the part trajectories within tolerance, and
+    reproduce the demo's first connect (recorded connect presses at
+    t≈116-148)."""
+    with open(SAWYER_DEMO, "rb") as f:
+        demo = pickle.load(f)
+    # move_speed here is the replay TRACKING authority, not a recording
+    # parameter: the tracker is saturated-P on the recorded hand stream and
+    # 0.1 leaves a ~7 cm steady-state lag at the demo's peak hand speeds
+    env = ArmEnv(
+        EnvConfig(
+            agent_type="Sawyer",
+            control_type="ik",
+            furniture_name="swivel_chair_0700",
+            move_speed=0.2,
+        )
+    )
+    s, eef_errs, part_errs = _replay_tracking(
+        env, demo, "sawyer_qpos", ["l_gripper"], 170, [-2, -1]
+    )
+    assert np.isfinite(np.asarray(s.parts.pos)).all()
+    # free-space tracking (first 20 steps, pre-contact) is cm-level; the mean
+    # includes the push/grasp/carry window
+    # (t>~50) where two-way contact coupling loads the arm and the
+    # recorded hand drags the column through floor contact
+    assert eef_errs[:20].mean() < 0.05, f"free-space err {eef_errs[:20].mean()}"
+    assert eef_errs.mean() < 0.12, f"eef tracking err {eef_errs.mean()}"
+    assert part_errs.mean() < 0.15, f"part err {part_errs.mean()}"
+
+    # connect parity against recorded ground truth: at the demo's connect
+    # press (t=148, the column held 2.5 mm above the base socket) the
+    # reference env accepted the connect — ours must too: fingers pinch the
+    # column through real contacts and _is_aligned + weld machinery fire in
+    # a single press (env/furniture.py:157 num_connect_steps=0 for arms)
+    s = _arm_state_from_demo(env, demo["qpos"][148], "sawyer_qpos", ["l_gripper"])
+    a = jnp.zeros(8).at[6].set(1.0).at[7].set(1.0)
+    s1, *_ = jax.jit(env.step)(s, a)
+    assert bool(np.asarray(s1.touch_l)[0, 1]) and bool(
+        np.asarray(s1.touch_r)[0, 1]
+    ), "fingers do not pinch the column at the recorded grasp state"
+    assert int(s1.num_connected) >= 1, (
+        "recorded connect state not accepted by our connect machinery"
+    )
+
+
+@pytest.mark.skipif(not os.path.exists(BAXTER_DEMO), reason="demo absent")
+def test_replay_reference_baxter_demo():
+    """Baxter_0.pkl (block): bimanual tracking replay; the demo's connect
+    presses land at t≈290-357."""
+    with open(BAXTER_DEMO, "rb") as f:
+        demo = pickle.load(f)
+    env = ArmEnv(
+        EnvConfig(
+            agent_type="Baxter",
+            control_type="ik",
+            furniture_name="block",
+            move_speed=0.2,
+        )
+    )
+    s, eef_errs, part_errs = _replay_tracking(
+        env,
+        demo,
+        "baxter_qpos",
+        ["r_gripper", "l_gripper"],
+        150,
+        [-3, -2, -1],
+    )
+    assert np.isfinite(np.asarray(s.parts.pos)).all()
+    assert eef_errs.mean() < 0.06, f"eef tracking err {eef_errs.mean()}"
+    # the demo nudges both feather-light blocks around with open grippers;
+    # push outcomes are contact-chaotic, so the bound is coarse
+    assert part_errs.mean() < 0.2, f"part err {part_errs.mean()}"
+
+    # connect parity at the recorded press (t=293: left gripper holds
+    # 2_block_r against 1_block_l; the recording's connect was accepted)
+    s = _arm_state_from_demo(
+        env, demo["qpos"][293], "baxter_qpos", ["r_gripper", "l_gripper"]
+    )
+    a = jnp.zeros(env.dof).at[12].set(1.0).at[13].set(1.0).at[14].set(1.0)
+    s1, *_ = jax.jit(env.step)(s, a)
+    assert int(s1.num_connected) >= 1, (
+        "recorded Baxter connect state not accepted by our connect machinery"
+    )
