@@ -451,9 +451,12 @@ class ArmEnv:
                         axis=1,
                     )
                     if cfg.grip_torsion > 0:
+                        # torsion stays active in contact: it only matches
+                        # angular velocity (low energy) and losing it makes
+                        # the leg swing exactly when precision matters
                         w_h = K.body_angvel(r, fk_out, qvel, r.eef_body[arm])
                         av = jnp.where(
-                            (pin_g & blend_on)[:, None],
+                            pin_g[:, None],
                             av + cfg.grip_torsion * (w_h[None] - av),
                             av,
                         )

@@ -438,7 +438,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             d = _move_z(
                 gconn_pos, tconn_pos, self.eps, z_conn + self._z_finedist
             )
-            act = act.at[0:3].set(d)
+            # cap the approach speed: a saturated 10 cm/control-step descent
+            # swings the hanging leg into the tabletop edge (the reference's
+            # rigid force-closed grasp tolerates it; our friction grip+blend
+            # model does not need to — slower approach costs ~10 steps)
+            act = act.at[0:3].set(jnp.clip(d, -0.3, 0.3))
             reached = jnp.all(d == 0)
             return act, gen._replace(
                 phase=jnp.where(reached, ALIGN_CONN_FINE, gen.phase).astype(

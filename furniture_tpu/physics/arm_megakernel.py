@@ -1067,10 +1067,9 @@ class ArmMegaPhysics:
                             whx = whx + qvj * axis_w[j][0]
                             why = why + qvj * axis_w[j][1]
                             whz = whz + qvj * axis_w[j][2]
+                        # torsion stays active in contact (see envs/arm)
                         av = tuple(
-                            jnp.where(
-                                (pin_g > 0) & blend_on, c + gt * (wh - c), c
-                            )
+                            jnp.where(pin_g > 0, c + gt * (wh - c), c)
                             for c, wh in zip(av, (whx, why, whz))
                         )
                     if gl > 0:
