@@ -55,6 +55,14 @@ class SimConfig:
     mega_block: int = 256
     # arm megakernel block (more lanes/state per env → smaller block fits VMEM)
     arm_mega_block: int = 128
+    # contact-lane budget for the arm megakernel: when the dense 15-point
+    # robot sample set would push the total lane count past this, the robot
+    # narrow phase drops to the 8-corner set (both the XLA path and the
+    # Pallas kernel, so parity holds). Sized so the kernel's live [K,block]
+    # working set fits v5e VMEM: Baxter's 2 arms × 14 hand geoms at 15
+    # samples (K=2300) spills ~141 MB of vregs and fails Mosaic compile;
+    # at 8 samples (K=1320) it fits. Sawyer (K=1250 dense) keeps 15.
+    arm_lane_budget: int = 1700
     # two-way gripper↔part contact coupling: contact impulses on robot geoms
     # return as Jᵀλ joint-space impulses so grasped part weight loads the arm
     # (MuJoCo native behavior; the reference steps these contacts two-way in

@@ -132,7 +132,11 @@ class ArmEnv:
         self.robot = compile_robot(cfg.agent_type, use_torque=use_torque)
         self.model = model or compile_from_config(cfg)
         self.tables = physics_tables(self.model)
-        self.tables.update(robot_contact_tables(self.tables, self.robot))
+        self.tables.update(
+            robot_contact_tables(
+                self.tables, self.robot, lane_budget=cfg.sim.arm_lane_budget
+            )
+        )
         self.substep = make_substep(self.tables, cfg.sim)
         self.ops = AssemblyOps(self.model, cfg, self.tables)
 
@@ -150,7 +154,7 @@ class ArmEnv:
         # static per-lane finger masks for touch detection
         lane_rg = self.tables["_lane_rgeom"]
         pairs = self.tables["_robot_pairs"]
-        NS = 15  # collide._SAMPLE_SIGNS15 points per pair side
+        NS = len(self.tables["_robot_signs"])  # samples per pair side
         lane_part = (
             np.concatenate(
                 [

@@ -60,21 +60,6 @@ from .megakernel import (
     _qrot,
 )
 
-_SAMPLE_SIGNS15 = np.concatenate(
-    [
-        _CORNER_SIGNS,
-        np.array(
-            [
-                [1.0, 0, 0], [-1.0, 0, 0],
-                [0, 1.0, 0], [0, -1.0, 0],
-                [0, 0, 1.0], [0, 0, -1.0],
-                [0.0, 0, 0],
-            ],
-            np.float32,
-        ),
-    ]
-)  # [15,3] — must match collide._SAMPLE_SIGNS15
-
 _HINGE = 0  # chain.HINGE
 _SLIDE = 1  # chain.SLIDE
 _MOTOR = 0  # chain.MOTOR
@@ -197,7 +182,11 @@ class ArmMegaPhysics:
         pg = rpairs[:, 1]                      # part geom
         r_sizes = np.asarray(tables["robot_np"]["_box_sizes"], np.float32)
         r_fric = np.asarray(tables["robot_np"]["geom_friction"], np.float32)
-        NS = len(_SAMPLE_SIGNS15)
+        # robot sample set chosen at table-build time (8 corners for large
+        # configs like Baxter so the kernel's VMEM working set fits; must
+        # match collide.robot_contacts, which reads the same table)
+        r_signs = np.asarray(tables["_robot_signs"], np.float32)
+        NS = len(r_signs)
         self.Kr1 = NR * NS                      # part samples in robot box
         self.Kr2 = NR * NS                      # robot samples in part box
         self.Kr = self.Kr1 + self.Kr2
@@ -213,7 +202,7 @@ class ArmMegaPhysics:
         slot1 = np.array([hand_slot[g] for g in lane_rg1])
 
         # side 1: part-geom sample points (part frame, static)
-        self.r1_corner = _part_frame_points(_SAMPLE_SIGNS15, sizes, gpos, gquat, pg)
+        self.r1_corner = _part_frame_points(r_signs, sizes, gpos, gquat, pg)
         self.r1_rsize = r_sizes[lane_rg1]                        # [Kr1,3]
         self.OHR1 = _onehot(slot1, NRG)                          # [Kr1,NRG]
         self.OAr1 = _onehot(gp[lane_pg1], P)                     # [Kr1,P]
@@ -221,7 +210,7 @@ class ArmMegaPhysics:
         # side 2: robot-geom sample points (robot-geom frame, static)
         self.r2_off = np.repeat(
             r_sizes[rg], NS, axis=0
-        ) * np.tile(_SAMPLE_SIGNS15, (NR, 1))                    # [Kr2,3]
+        ) * np.tile(r_signs, (NR, 1))                            # [Kr2,3]
         lane_rg2 = lane_rg1
         lane_pg2 = lane_pg1
         self.OHR2 = self.OHR1

@@ -313,7 +313,11 @@ def robot_contacts(
 
     rg = jnp.asarray(pairs[:, 0])               # robot geom idx
     pg = jnp.asarray(pairs[:, 1])               # part geom idx
-    corners = jnp.asarray(_SAMPLE_SIGNS15, jnp.float32)
+    # sample set chosen at table-build time (engine.robot_contact_tables):
+    # 15-point dense set, or 8 corners when the lane budget demands it
+    corners = jnp.asarray(
+        model_np.get("_robot_signs", _SAMPLE_SIGNS15), jnp.float32
+    )
     NS = corners.shape[0]
 
     # part-geom corners inside robot box

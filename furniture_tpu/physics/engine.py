@@ -368,25 +368,40 @@ def physics_tables(model) -> dict:
     return out
 
 
-def robot_contact_tables(tables: dict, robot) -> dict:
+def robot_contact_tables(tables: dict, robot, lane_budget: int = 1700) -> dict:
     """Static tables for robot↔part contact coupling.
 
     Pairs every gripper-side robot geom (``CompiledRobot.hand_geoms``) with
     every part collision geom, plus the per-lane robot-geom map used for
     finger-touch detection (reference finger-contact scan,
     ``env/furniture.py:1290-1330``).
+
+    The per-pair sample set (``_robot_signs``) is the dense 15-point set
+    (corners + face centers + center) when the resulting total lane count
+    fits ``lane_budget`` (``SimConfig.arm_lane_budget``), else the 8-corner
+    set — bimanual robots (Baxter: 14 hand geoms) would otherwise exceed the
+    arm megakernel's VMEM working set on TPU. Both the XLA narrow phase
+    (``collide.robot_contacts``) and the Pallas kernel read this table, so
+    the two paths stay bit-identical.
     """
+    from .collide import _CORNER_SIGNS, _SAMPLE_SIGNS15
+
     hand = np.flatnonzero(robot.hand_geoms)
     part_geoms = np.arange(len(tables["geom_part"]))
     pairs = np.array(
         [(r, p) for r in hand for p in part_geoms], dtype=np.int32
     ).reshape(-1, 2)
-    NS = 15  # collide._SAMPLE_SIGNS15 points per pair side
+    k_base = 8 * len(tables["geom_part"]) + 16 * len(tables["_pairs"])
+    signs = _SAMPLE_SIGNS15
+    if k_base + 2 * 15 * len(pairs) > lane_budget:
+        signs = _CORNER_SIGNS
+    NS = len(signs)
     lane_rgeom = np.concatenate(
         [np.repeat(pairs[:, 0], NS), np.repeat(pairs[:, 0], NS)]
     ) if len(pairs) else np.zeros(0, np.int32)
     return {
         "_robot_pairs": pairs,
+        "_robot_signs": np.asarray(signs, np.float32),
         "_lane_rgeom": lane_rgeom,
         "robot_np": {
             "_box_sizes": np.asarray(robot.geom_size, dtype=np.float32),
