@@ -64,6 +64,37 @@ class GenPolicyState(NamedTuple):
     z_move_g_prev: jax.Array  # f32 griptip ratchet (:498-507)
     noise_wp: jax.Array       # [3] per-episode waypoint noise
     noise_ng: jax.Array       # [3] per-episode nogrip noise
+    drop_count: jax.Array     # int32 consecutive carry steps with no grasp
+    phase_steps: jax.Array    # int32 steps spent in the current phase
+
+
+# per-phase step budget + fallthrough target: align phases that limit-cycle
+# (the min_rot_act floor + the ±π/2 fold in the forward corrections can
+# oscillate around a tolerance boundary forever) fall through to their next
+# phase — a slightly misaligned grasp/approach still usually succeeds —
+# while stuck move/approach phases reopen and re-grasp. The reference's
+# host-side generator instead discards the whole episode on any stall
+# (furniture_sawyer_gen.py:430-697); budgets keep the batch lanes live.
+_PHASE_LIMIT = np.array(
+    [100, 200, 80, 150, 150, 120, 200, 200, 120, 200, 100, 1 << 30], np.int32
+)
+_PHASE_FALLTHROUGH = np.array(
+    [
+        XY_MOVE_G,      # INIT_GRIP
+        XY_MOVE_G,      # XY_MOVE_G (unreachable leg: keep trying)
+        Z_MOVE_G,       # ALIGN_G
+        XY_MOVE_G,      # Z_MOVE_G
+        ALIGN_CONN,     # MOVE_WAYPOINTS (leg held; skip stuck waypoint)
+        XY_MOVE_CONN,   # ALIGN_CONN
+        XY_MOVE_G,      # XY_MOVE_CONN
+        XY_MOVE_G,      # Z_MOVE_CONN
+        Z_MOVE_CONN_FINE,  # ALIGN_CONN_FINE
+        XY_MOVE_G,      # Z_MOVE_CONN_FINE
+        PART_DONE,      # MOVE_NOGRIP_SAFEPOS
+        PART_DONE,      # PART_DONE
+    ],
+    np.int32,
+)
 
 
 # -- ported planner primitives (furniture_sawyer_gen.py:214-345) -------------
@@ -188,6 +219,33 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
     (reference ``FurnitureSawyerGenEnv``, ``furniture_sawyer_gen.py:13``)."""
 
     def __init__(self, config: EnvConfig | None = None, model=None):
+        # the scripted carry commands fast mid-air reorientations of the
+        # grasped leg; the default grip-blend strength (0.3, tuned for demo
+        # replay) lets the leg swing and escape. Until force-closed finger
+        # servos land, the generator env floors the blends at 0.6 — the
+        # strength at which full 4-connect assemblies complete (probed over
+        # 32-episode TPU batches; 0.9 over-couples and re-destabilizes).
+        import dataclasses
+
+        if config is not None:
+            sim = config.sim
+            if sim.grip_torsion < 0.6 or sim.grip_linear < 0.6:
+                config = dataclasses.replace(
+                    config,
+                    sim=dataclasses.replace(
+                        sim,
+                        grip_torsion=max(0.6, sim.grip_torsion),
+                        grip_linear=max(0.6, sim.grip_linear),
+                    ),
+                )
+        else:
+            cfg0 = EnvConfig()
+            config = dataclasses.replace(
+                cfg0,
+                sim=dataclasses.replace(
+                    cfg0.sim, grip_torsion=0.6, grip_linear=0.6
+                ),
+            )
         super().__init__(config, model)
         p = self.model.recipe_raw
         self._p = p
@@ -248,6 +306,8 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             z_move_g_prev=jnp.array(jnp.inf, jnp.float32),
             noise_wp=jax.random.uniform(k1, (3,), minval=0.0, maxval=2 * r),
             noise_ng=jax.random.uniform(k2, (3,), minval=0.0, maxval=2 * r),
+            drop_count=jnp.array(0, jnp.int32),
+            phase_steps=jnp.array(0, jnp.int32),
         )
         return self._enter_part(gen, env_state)
 
@@ -285,6 +345,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         inner loop, furniture_sawyer_gen.py:430-697). Returns (action8, gen)."""
         st = self._st
         s = gen.part
+        phase_in = gen.phase
         fk_out = K.fk(self.robot, env_state.qpos)
         parts = env_state.parts
 
@@ -301,6 +362,18 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         tconn = jnp.asarray(st["table_site"])[s]
         gconn_pos, gconn_quat = self._conn_pose(parts, gconn)
         tconn_pos, tconn_quat = self._conn_pose(parts, tconn)
+
+        # velocity-lead prediction of the held leg's conn site, one control
+        # step ahead: the approach phases servo a site on a *swinging* part
+        # (a friction grasp is compliant, unlike the reference's rigid
+        # force-closed MuJoCo grasp), and pure position feedback on the
+        # swing limit-cycles until the leg rips out of the fingers; leading
+        # the measurement by the swing velocity damps the loop
+        leg_idx = jnp.asarray(st["leg"])[s]
+        v_conn = parts.lin_vel[leg_idx] + T.cross(
+            parts.ang_vel[leg_idx], gconn_pos - parts.pos[leg_idx]
+        )
+        gconn_pred = gconn_pos + (1.0 / self.config.sim.control_freq) * v_conn
 
         m = self.model
         angles = jnp.asarray(m.conn_angles, jnp.float32)[gconn]
@@ -349,18 +422,19 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         def ph_align_g(gen):
             # point the gripper straight down + fingers across the grasp
-            # vector (reference align_g, furniture_sawyer_gen.py:460-487)
+            # vector (reference align_g, furniture_sawyer_gen.py:460-487).
+            # xy and rotation are corrected SIMULTANEOUSLY (the reference
+            # alternates, but wrist rotations translate the eef, so
+            # rotate-then-translate wanders); grip alignment uses a 2x
+            # tolerance — a grasp with the fingers ±0.1 rad off the grasp
+            # vector still straddles the leg
             act = a.at[6].set(-1.0)
-            w_up = _grip_up_correction(hand_quat, self.rot_eps)
-            w_fwd = _grip_fwd_correction(hand_quat, g_vec[:2], self.rot_eps)
+            w_up = _grip_up_correction(hand_quat, 2 * self.rot_eps)
+            w_fwd = _grip_fwd_correction(hand_quat, g_vec[:2], 2 * self.rot_eps)
             rot = w_up + w_fwd
             rot_zero = jnp.all(rot == 0.0)
             d, reached = _move_xy(grip_pos[:2], g_pos[:2], self.eps)
-            act = jnp.where(
-                rot_zero,
-                act.at[0:2].set(d),
-                act.at[3:6].set(to_act(rot)),
-            )
+            act = act.at[0:2].set(d).at[3:6].set(to_act(rot))
             skip = jnp.asarray(self._skip_align_g)[gen.part]
             advance = skip | (rot_zero & reached)
             return act, gen._replace(
@@ -413,13 +487,17 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         def ph_align_conn(gen):
             # up axes first, then the allowed-angle xy rotation (reference
-            # align_conn, furniture_sawyer_gen.py:552-572)
+            # align_conn, furniture_sawyer_gen.py:552-572). Corrections are
+            # doubled here (clipped to ±1 later): the leg tracks the hand
+            # through a compliant friction grasp at ~60% of the commanded
+            # rate, and the coarse 90° reorientation dominates the episode
+            # budget otherwise
             act = a.at[6].set(1.0)
             w_up = _up_correction(rel, self.rot_eps)
             up_zero = jnp.all(w_up == 0.0)
             w_fwd = _fwd_correction(rel, angles, amask, has_angles, self.rot_eps)
             done_rot = up_zero & jnp.all(w_fwd == 0.0)
-            rot = jnp.where(up_zero, w_fwd, w_up)
+            rot = 2.0 * jnp.where(up_zero, w_fwd, w_up)
             act = act.at[3:6].set(to_act(rot))
             return act, gen._replace(
                 phase=jnp.where(done_rot, XY_MOVE_CONN, gen.phase).astype(jnp.int32),
@@ -427,7 +505,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
 
         def ph_xy_move_conn(gen):
             act = a.at[6].set(1.0)
-            d, reached = _move_xy(gconn_pos[:2], tconn_pos[:2], self.eps)
+            d, reached = _move_xy(gconn_pred[:2], tconn_pos[:2], self.eps)
             act = act.at[0:2].set(d)
             return act, gen._replace(
                 phase=jnp.where(reached, Z_MOVE_CONN, gen.phase).astype(jnp.int32)
@@ -436,12 +514,8 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         def ph_z_move_conn(gen):
             act = a.at[6].set(1.0)
             d = _move_z(
-                gconn_pos, tconn_pos, self.eps, z_conn + self._z_finedist
+                gconn_pred, tconn_pos, self.eps, z_conn + self._z_finedist
             )
-            # cap the approach speed: a saturated 10 cm/control-step descent
-            # swings the hanging leg into the tabletop edge (the reference's
-            # rigid force-closed grasp tolerates it; our friction grip+blend
-            # model does not need to — slower approach costs ~10 steps)
             act = act.at[0:3].set(jnp.clip(d, -0.3, 0.3))
             reached = jnp.all(d == 0)
             return act, gen._replace(
@@ -458,7 +532,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 rel, angles, amask, has_angles, self.rot_eps_fine
             )
             fwd_zero = jnp.all(w_fwd == 0.0)
-            d, reached = _move_xy(gconn_pos[:2], tconn_pos[:2], self.eps_fine)
+            d, reached = _move_xy(gconn_pred[:2], tconn_pos[:2], self.eps_fine)
             rot = jnp.where(up_zero, w_fwd, w_up)
             act = jnp.where(
                 up_zero & fwd_zero,
@@ -475,7 +549,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         def ph_z_move_conn_fine(gen):
             act = a.at[6].set(1.0)
             d = _move_z(
-                gconn_pos, tconn_pos, self.eps_fine, z_conn, fine=self.fine_mag
+                gconn_pred, tconn_pos, self.eps_fine, z_conn, fine=self.fine_mag
             )
             w_up = _up_correction(rel, self.rot_eps_fine)
             up_zero = jnp.all(w_up == 0.0)
@@ -537,16 +611,25 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             gen,
         )
 
-        # magnitudes + min-rot normalization + clip (:679-683, :117-124)
+        # magnitudes + clip (:679-683, :117-124). The reference also floors
+        # small rotation actions to min_rot_act (real-robot stiction
+        # compensation); here the floor is intentionally NOT applied — the
+        # simulated wrist has no stiction, and a floored ±min_rot bang-bang
+        # limit-cycles around the rot_eps boundary instead of converging
         action = action.at[0:3].multiply(self.lat_mag)
         action = action.at[3:6].multiply(self.rot_mag)
-        fine = (gen.phase == ALIGN_CONN_FINE) | (gen.phase == Z_MOVE_CONN_FINE)
-        min_rot = jnp.where(fine, self.min_rot_act_fine, self.min_rot_act)
-        rot = action[3:6]
-        small = (jnp.abs(rot) > 0) & (jnp.abs(rot) < min_rot)
-        rot = jnp.where(small, jnp.sign(rot) * min_rot, rot)
-        action = action.at[3:6].set(rot)
         action = jnp.clip(action, -1.0, 1.0)
+
+        # carry-speed cap: lat_magnitude=15 saturates every lateral move to
+        # ±1 (max eef speed), which bang-bangs the compliant grasp until the
+        # leg is flung out; while carrying, cap translation at 40%
+        carrying = (
+            (gen.phase == MOVE_WAYPOINTS)
+            | (gen.phase == XY_MOVE_CONN)
+            | (gen.phase == Z_MOVE_CONN)
+        )
+        cap = jnp.where(carrying, 0.25, 1.0)
+        action = action.at[0:3].set(jnp.clip(action[0:3], -cap, cap))
 
         # advance to next part when the env connected this part
         def next_part(gen):
@@ -561,6 +644,55 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             lambda g: g,
             gen,
         )
+
+        # drop recovery (robustification over the reference, which discards
+        # any episode that loses the grasp, furniture_sawyer_gen.py:430-697):
+        # if the leg stays un-grasped through a carry/align/approach phase,
+        # reopen and go back to XY_MOVE_G to re-grasp — the grasp sites
+        # track the part wherever it landed
+        held = env_state.touch_l[0, leg_idx] & env_state.touch_r[0, leg_idx]
+        in_carry = (gen.phase >= MOVE_WAYPOINTS) & (gen.phase <= Z_MOVE_CONN_FINE)
+        dc = jnp.where(in_carry & ~held, gen.drop_count + 1, 0)
+        regrasp = dc >= 8
+
+        # per-phase step budget: stalled phases fall through (see
+        # _PHASE_LIMIT / _PHASE_FALLTHROUGH)
+        psteps = jnp.where(gen.phase == phase_in, gen.phase_steps + 1, 0)
+        timed_out = psteps >= jnp.asarray(_PHASE_LIMIT)[gen.phase]
+        fallthrough = jnp.asarray(_PHASE_FALLTHROUGH)[gen.phase]
+
+        new_phase = jnp.where(
+            regrasp, XY_MOVE_G, jnp.where(timed_out, fallthrough, gen.phase)
+        )
+        reset_grasp = regrasp | (timed_out & (fallthrough == XY_MOVE_G))
+        # re-grasp goes through a lift-in-place waypoint first: after a drop
+        # the hand is at carry height, and driving xy straight at the fallen
+        # leg plows the open gripper into it at full speed, batting it
+        # across (and out of) the workspace
+        lift = jnp.stack(
+            [gripbase[0], gripbase[1], jnp.float32(0.37)]
+        )
+        gen = gen._replace(
+            drop_count=jnp.where(regrasp, 0, dc).astype(jnp.int32),
+            phase_steps=jnp.where(regrasp | timed_out, 0, psteps).astype(
+                jnp.int32
+            ),
+            phase=jnp.where(reset_grasp, INIT_GRIP, new_phase).astype(
+                jnp.int32
+            ),
+            safepos=jnp.where(
+                reset_grasp, gen.safepos.at[0].set(lift), gen.safepos
+            ),
+            safepos_len=jnp.where(reset_grasp, 1, gen.safepos_len).astype(
+                jnp.int32
+            ),
+            safepos_idx=jnp.where(reset_grasp, 0, gen.safepos_idx).astype(
+                jnp.int32
+            ),
+            z_move_g_prev=jnp.where(
+                reset_grasp, jnp.inf, gen.z_move_g_prev
+            ).astype(jnp.float32),
+        )
         return action, gen
 
     # -- batched generation ------------------------------------------------------
@@ -571,47 +703,116 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         seed: int = 0,
         batch: int | None = None,
         store_path: str | None = None,
+        demo_dir: str | None = None,
+        max_steps: int | None = None,
+        record_obs: bool = True,
     ):
         """Batched scripted demo generation: roll ``batch`` parallel scripted
-        episodes to ``max_success_steps``, return the successful
-        (obs, action, reward) trajectories (host-side; reference
-        ``generate_demos`` :347-731 + DemoRecorder). When ``store_path`` is
-        given, successful trajectories are persisted through the native
-        multithreaded trajectory store (``native/traj_store.cpp``)."""
+        episodes on the megakernel batch path, return the successful
+        (obs, action, reward) trajectories (reference ``generate_demos``
+        :347-731 + DemoRecorder save at :716-718).
+
+        Demos carry per-step observations in the reference's
+        ``DemoRecorder`` schema (``util/demo_recorder.py:33-87``:
+        ``len(obs) == len(actions)+1``) so ``rl.bc.demos_to_dataset`` /
+        GAIL can train on them directly. ``demo_dir`` additionally saves
+        each demo as a numbered reference-schema pickle; ``store_path``
+        persists (actions, rewards) through the native multithreaded
+        trajectory store (``native/traj_store.cpp``).
+
+        Returns ``(demos, stats)`` with ``stats`` = per-batch success rate,
+        connect-count histogram, and first-success step quantiles — the
+        committed success-rate artifact's payload.
+        """
         batch = batch or max(n_demos, 8)
+        # the in-policy drop recovery retries failed grasps, so give
+        # episodes 2x the reference's success budget by default
+        max_steps = max_steps or 2 * self.max_success_steps
         key = jax.random.PRNGKey(seed)
         k_reset, k_gen = jax.random.split(key)
 
-        reset = jax.jit(jax.vmap(self.reset))
+        reset = jax.jit(self.reset_batch)
         init_pol = jax.jit(jax.vmap(self.init_policy_state))
 
         def one_step(carry, _):
             env_s, gen_s = carry
             action, gen_s = jax.vmap(self.scripted_action)(gen_s, env_s)
-            env_s, obs, rew, done, info = jax.vmap(self.step)(env_s, action)
-            return (env_s, gen_s), (action, rew, info["success"])
+            env_s, obs, rew, done, info = self.step_batch(env_s, action)
+            rec = (action, rew, info["success"], env_s.num_connected)
+            if record_obs:
+                rec = rec + (obs,)
+            return (env_s, gen_s), rec
+
+        # the rollout runs in fixed-length jitted segments with a host loop
+        # over them: one monolithic max_steps-long scan is a single XLA
+        # execution of minutes of device time, which trips device-side
+        # execution watchdogs (observed as TPU worker crashes on the
+        # tunneled runtime); segment boundaries cost one dispatch each
+        seg = 400
 
         @jax.jit
-        def rollout(env_s, gen_s):
+        def rollout_seg(env_s, gen_s):
             (env_s, gen_s), traj = jax.lax.scan(
-                one_step, (env_s, gen_s), None, length=self.max_success_steps
+                one_step, (env_s, gen_s), None, length=seg
             )
-            return env_s, traj
+            return env_s, gen_s, traj
 
         env_s = reset(jax.random.split(k_reset, batch))
         gen_s = init_pol(env_s, jax.random.split(k_gen, batch))
-        env_s, (actions, rewards, successes) = rollout(env_s, gen_s)
+        obs0 = jax.jit(jax.vmap(self.observe))(env_s)
+        obs0 = {k: np.asarray(v) for k, v in obs0.items()}
 
-        succ = np.asarray(jnp.any(successes, axis=0))       # [B]
+        chunks = []
+        n_seg = int(np.ceil(max_steps / seg))
+        for _ in range(n_seg):
+            env_s, gen_s, traj = rollout_seg(env_s, gen_s)
+            chunks.append(jax.tree.map(np.asarray, traj))
+        traj = jax.tree.map(lambda *xs: np.concatenate(xs)[:max_steps], *chunks)
+        actions, rewards, successes, n_conn = traj[:4]
+        obs_t = traj[4] if record_obs else None
+
+        succ = successes.any(axis=0)                         # [B]
+        first = np.where(succ, successes.argmax(0) + 1, max_steps)
+
+        def ob_slice(t, b):
+            """One env's observation dict at step t (t == -1 -> reset obs)."""
+            if t < 0:
+                return {k: np.asarray(v[b]) for k, v in obs0.items()}
+            return {k: np.asarray(v[t, b]) for k, v in obs_t.items()}
+
         demos = []
         for b in np.flatnonzero(succ)[:n_demos]:
-            t_end = int(np.asarray(jnp.argmax(successes[:, b]))) + 1
-            demos.append(
-                {
-                    "actions": np.asarray(actions[:t_end, b]),
-                    "rewards": np.asarray(rewards[:t_end, b]),
-                }
-            )
+            t_end = int(first[b])
+            d = {
+                "actions": actions[:t_end, b],
+                "rewards": rewards[:t_end, b],
+                "num_connected": int(n_conn[t_end - 1, b]),
+            }
+            if record_obs:
+                d["obs"] = [ob_slice(-1, b)] + [
+                    ob_slice(t, b) for t in range(t_end)
+                ]
+            demos.append(d)
+
+        if demo_dir is not None and demos:
+            from ..utils.demo import DemoRecorder
+
+            rec = DemoRecorder(demo_dir, metadata={
+                "agent": self.config.agent_type,
+                "furniture_name": self.config.furniture_name,
+                "seed": seed,
+            })
+            for i, d in enumerate(demos):
+                for t, a in enumerate(d["actions"]):
+                    rec.add(
+                        ob=d["obs"][t] if record_obs else None,
+                        action=a,
+                        reward=float(d["rewards"][t]),
+                    )
+                if record_obs:
+                    rec.add(ob=d["obs"][len(d["actions"])])
+                rec.save(f"Sawyer_{self.config.furniture_name}_", count=i)
+
         if store_path is not None and demos:
             from ..utils.traj_store import TrajStore
 
@@ -619,4 +820,19 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 for d in demos:
                     ts.append(d["actions"], d["rewards"])
                 ts.flush()
-        return demos, float(succ.mean())
+
+        final_conn = n_conn[-1]
+        stats = {
+            "batch": int(batch),
+            "max_steps": int(max_steps),
+            "seed": int(seed),
+            "success_rate": float(succ.mean()),
+            "connect_histogram": np.bincount(
+                final_conn, minlength=self.n_subtasks + 1
+            ).tolist(),
+            "mean_num_connected": float(final_conn.mean()),
+            "first_success_steps": sorted(
+                int(f) for f in first[succ]
+            ),
+        }
+        return demos, stats

@@ -49,7 +49,8 @@ def make_evaluate(env, act_fn, n_episodes: int = 64, max_steps: int = 200):
             states, _, rew, done, info = jax.vmap(env.step)(states, action)
             success = info["success"].astype(bool)
             newly = success & ~succeeded
-            succ_t = jnp.where(newly, t, succ_t)
+            # t is the 0-indexed scan step; the episode took t+1 steps
+            succ_t = jnp.where(newly, t + 1, succ_t)
             # accumulate up to and including the success step
             total_rew = total_rew + jnp.where(succeeded, 0.0, rew)
             succeeded = succeeded | success

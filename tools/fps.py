@@ -16,7 +16,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys as _sys
 import time
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +35,12 @@ def measure(agent, control, furniture, batch, horizon=10, reps=3):
         agent_type=agent, control_type=control, furniture_name=furniture
     )
     env = CursorEnv(cfg) if agent == "Cursor" else ArmEnv(cfg)
+    # the megakernel-backed batch path when the env provides one (on TPU
+    # this is the production path the megakernels exist for; the vmapped
+    # per-env step is launch-bound and ~10-50x slower)
+    batched = getattr(env, "has_batch_api", False)
+    step = env.step_batch if batched else jax.vmap(env.step)
+    reset = env.reset_batch if batched else jax.vmap(env.reset)
 
     @jax.jit
     def rollout(states, key):
@@ -40,7 +50,7 @@ def measure(agent, control, furniture, batch, horizon=10, reps=3):
             a = jax.random.uniform(
                 k, (batch, env.dof), minval=-1.0, maxval=1.0
             )
-            states, obs, rew, done, info = jax.vmap(env.step)(states, a)
+            states, obs, rew, done, info = step(states, a)
             return (states, key), rew
 
         (states, _), rews = jax.lax.scan(
@@ -49,7 +59,7 @@ def measure(agent, control, furniture, batch, horizon=10, reps=3):
         return states, rews.sum()
 
     key = jax.random.PRNGKey(0)
-    states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, batch))
+    states = jax.jit(reset)(jax.random.split(key, batch))
     out, _ = rollout(states, key)
     jax.tree.map(jax.block_until_ready, out)
     t0 = time.perf_counter()

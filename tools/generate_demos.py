@@ -2,17 +2,23 @@
 """Batched scripted demonstration generation CLI
 (reference ``python -m furniture.env.furniture_sawyer_gen`` entry point,
 ``furniture_sawyer_gen.py:734-748``) — but vmapped: all episodes in one
-compiled rollout on the accelerator, persisted through the native
-trajectory store.
+compiled rollout on the accelerator, saved as reference-schema demo pickles
+(``util/demo_recorder.py:33-87``) that ``rl/bc.py`` and ``rl/gail.py``
+consume directly, plus a success-rate stats JSON.
 
 Usage:
-  python tools/generate_demos.py --furniture table_lack_0825 --n_demos 16 \\
-      --batch 64 --out demos/table_lack.ftr
+  python tools/generate_demos.py --furniture table_lack_0825 --n_demos 4 \\
+      --batch 128 --demo_dir demos/ --stats_out runs/gen_stats.json
 """
 
 from __future__ import annotations
 
 import argparse
+import json
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
 
 
 def main():
@@ -21,7 +27,14 @@ def main():
     p.add_argument("--n_demos", type=int, default=8)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--out", default=None, help="native .ftr store path")
+    p.add_argument("--demo_dir", default=None,
+                   help="directory for reference-schema demo pickles")
+    p.add_argument("--stats_out", default=None,
+                   help="write the success-rate stats JSON here")
+    p.add_argument("--no_obs", action="store_true",
+                   help="skip per-step observation recording (smaller demos)")
     args = p.parse_args()
 
     from furniture_tpu.config import EnvConfig
@@ -34,14 +47,21 @@ def main():
             furniture_name=args.furniture,
         )
     )
-    demos, success_rate = env.generate_demos(
-        args.n_demos, seed=args.seed, batch=args.batch, store_path=args.out
+    demos, stats = env.generate_demos(
+        args.n_demos,
+        seed=args.seed,
+        batch=args.batch,
+        store_path=args.out,
+        demo_dir=args.demo_dir,
+        max_steps=args.max_steps,
+        record_obs=not args.no_obs,
     )
-    print(
-        f"generated {len(demos)} demos "
-        f"(success rate {success_rate:.1%} over batch {args.batch})"
-        + (f" -> {args.out}" if args.out else "")
-    )
+    stats["furniture_name"] = args.furniture
+    stats["n_demos_saved"] = len(demos)
+    print(json.dumps(stats))
+    if args.stats_out:
+        with open(args.stats_out, "w") as f:
+            json.dump(stats, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -108,12 +108,13 @@ def main():
         init, fit, predict = rl.make_bc(X.shape[-1], Y.shape[-1],
                                         rl.BCConfig(lr=args.lr))
         st, start = maybe_resume(init(key))
+        m = None
         for ep in range(start, args.epochs):
             st, m = fit(st, X, Y)
             if ep % 10 == 0 or ep == args.epochs - 1:
                 log(ep, m)
             maybe_ckpt(st, ep, last=ep == args.epochs - 1)
-        final = {"final_mse": float(m["mse"])}
+        final = {"final_mse": float(m["mse"])} if m is not None else {}
     elif args.algo in ("ppo", "gail"):
         cfg = rl.PPOConfig(num_envs=args.num_envs, rollout_len=args.rollout_len,
                            lr=args.lr)
@@ -130,7 +131,17 @@ def main():
             disc_state, key = g_init(key)
             reward_fn = lambda o, a, r: disc_reward(disc_state.params)(o, a, r)
         init, train = rl.make_ppo(env, cfg, mesh=mesh, reward_fn=reward_fn)
-        st, start = maybe_resume(init(key))
+        st = init(key)
+        if args.algo == "gail":
+            # the discriminator is part of the run state: resuming the
+            # policy alone would restart disc_state from random init and
+            # corrupt the adversarial reward relative to an uninterrupted
+            # run, so (policy, disc) checkpoint as one pytree
+            bundle, start = maybe_resume({"policy": st, "disc": disc_state})
+            st, disc_state = bundle["policy"], bundle["disc"]
+        else:
+            st, start = maybe_resume(st)
+        m = None
         for it in range(start, args.iters):
             st, m = train(st)
             if disc_update is not None:
@@ -142,8 +153,15 @@ def main():
                 disc_state, dm = disc_update(disc_state, obs, acts)
                 m = {**m, **dm}
             log(it, m)
-            maybe_ckpt(st, it, last=it == args.iters - 1)
-        final = {"reward_per_step": float(m["reward_per_step"])}
+            maybe_ckpt(
+                {"policy": st, "disc": disc_state}
+                if args.algo == "gail" else st,
+                it, last=it == args.iters - 1,
+            )
+        final = (
+            {"reward_per_step": float(m["reward_per_step"])}
+            if m is not None else {}
+        )
         if args.eval_episodes:
             eval_fn = rl.make_evaluate(
                 env, rl.ppo_act, args.eval_episodes, args.eval_max_steps
@@ -152,12 +170,16 @@ def main():
         init, train = rl.make_sac(env, rl.SACConfig(num_envs=args.num_envs,
                                                     lr=args.lr))
         st, start = maybe_resume(init(key))
+        m = None
         for it in range(start, args.iters):
             st, m = train(st)
             if it % 10 == 0 or it == args.iters - 1:
                 log(it, m)
             maybe_ckpt(st, it, last=it == args.iters - 1)
-        final = {"reward_per_step": float(m["reward_per_step"])}
+        final = (
+            {"reward_per_step": float(m["reward_per_step"])}
+            if m is not None else {}
+        )
         if args.eval_episodes:
             eval_fn = rl.make_evaluate(
                 env, rl.sac_act, args.eval_episodes, args.eval_max_steps
