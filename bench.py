@@ -201,8 +201,16 @@ def bench_ilqr(reps: int = 3) -> float:
         flatten_env_dynamics,
         make_ilqr,
     )
+    from furniture_tpu.config import SimConfig
 
-    env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
+    # the same planner-model coarsening bench_mppi uses: 8 solver iters
+    # (plus the 10-substep coarsening passed to flatten_env_dynamics below)
+    env = CursorEnv(
+        EnvConfig(
+            furniture_name="table_lack_0825",
+            sim=SimConfig(solver_iters=8),
+        )
+    )
     state = env.reset(jax.random.PRNGKey(0))
     state = state._replace(
         cursor_pos=state.cursor_pos.at[0].set(state.parts.pos[0]),

@@ -173,6 +173,18 @@ class EnvConfig:
     furn_size_scale: float = 1.0
     # cursor connect needs N consecutive connect steps (furniture_cursor.py:32)
     num_connect_steps: int = 10
+    # recipe-prefix preassembly at reset: these recipe subtask indices start
+    # connected (welds active, groups merged) — the reference's
+    # ``--preassembled`` / ``set_subtask`` (config/furniture.py:158,
+    # env/furniture.py:1492-1566, :205-207). When ``num_connects`` is also
+    # set, success requires num_connects connects BEYOND the preassembled
+    # ones (env/furniture.py:1479)
+    preassembled: tuple = ()
+    # pickle path of an initial-state pool: at reset, with probability 0.8,
+    # part poses (and robot qpos when present) are drawn from the pool
+    # instead of the placement sampler (``--load_init_states``,
+    # env/furniture.py:127-130, 1433-1434)
+    load_init_states: str | None = None
     # observation toggles (config/furniture.py:229-285)
     robot_ob: bool = True
     object_ob: bool = True

@@ -146,7 +146,18 @@ class ArmEnv:
         self._C = m.n_conn
         self._W = m.n_welds
         nc = cfg.num_connects
-        self.success_num_connects = int(nc if nc is not None else m.num_connects)
+        # with num_connects set, preassembled connects count on top of it
+        # (env/furniture.py:1479)
+        if nc is not None:
+            self.success_num_connects = int(nc) + len(cfg.preassembled)
+        else:
+            self.success_num_connects = int(m.num_connects)
+        # initial-state pool (env/furniture.py:127-130; utils/init_pool)
+        self._init_pool = None
+        if cfg.load_init_states:
+            from ..utils.init_pool import load_pool
+
+            self._init_pool = load_pool(cfg.load_init_states)
 
         self.arms = r.arms
         self.n_arms = len(r.arms)
@@ -425,9 +436,6 @@ class ArmEnv:
                 )
                 blend_on = ~ext_g
                 for arm in self.arms:
-                    fing = jnp.asarray(self._lane_l[arm]) | jnp.asarray(
-                        self._lane_r[arm]
-                    )
                     tl = (
                         jax.ops.segment_max(
                             (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
@@ -448,7 +456,10 @@ class ArmEnv:
                         )
                         > 0
                     )
-                    pin = tl & tr
+                    # pinched = both fingers touch AND the squeeze servo is
+                    # engaged (matches the megakernel; an open gripper
+                    # double-touch must not trigger the velocity override)
+                    pin = tl & tr & deeps[arm]
                     pin_g = jnp.any(
                         (state.group[:, None] == state.group[None, :])
                         & pin[None, :],
@@ -465,28 +476,41 @@ class ArmEnv:
                             av,
                         )
                     if cfg.grip_linear > 0:
-                        # mean finger-surface velocity over the group's
-                        # active grasp lanes (extra.vel_b is the prescribed
-                        # kinematic-collider velocity per lane); aggregated
-                        # per group so the replicated group velocity stays
-                        # consistent across members
-                        act = (extra.mask & fing).astype(jnp.float32)
-                        vsum = jax.ops.segment_sum(
-                            extra.vel_b * act[:, None],
-                            lane_part,
-                            num_segments=self._P,
+                        # rigid-carry target: the HAND's rigid-body velocity
+                        # evaluated at the held group's COM, exact from the
+                        # joint state. (An earlier version averaged the
+                        # active finger-lane surface velocities, but that
+                        # estimate flickers with the contact manifold and at
+                        # high blend strengths its noise transfers straight
+                        # into the carried part; the jacobian velocity is
+                        # what the reference's force-closed kp≈1e5 grasp
+                        # would impose.)
+                        mass = jnp.asarray(
+                            self.tables["part_mass"], jnp.float32
                         )
-                        cnt = jax.ops.segment_sum(
-                            act, lane_part, num_segments=self._P
+                        com_l = jnp.asarray(
+                            self.tables["part_com"], jnp.float32
+                        )
+                        # pre-step poses: matches the megakernel, whose
+                        # group aggregates are computed at substep start
+                        com_w = parts.pos + T.quat_rotate(
+                            parts.quat, com_l
                         )
                         member = (
                             state.group[:, None] == state.group[None, :]
                         ).astype(jnp.float32)
-                        gv = member @ vsum
-                        gc = member @ cnt
-                        v_h = gv / jnp.maximum(gc, 1.0)[:, None]
+                        g_m = member @ mass
+                        g_com = (
+                            member @ (mass[:, None] * com_w)
+                        ) / g_m[:, None]
+                        body = r.eef_body[arm]
+                        v_h = jax.vmap(
+                            lambda pt: (
+                                K.point_jacobian(r, fk_out, body, pt) @ qvel
+                            )[:3]
+                        )(g_com)
                         lv = jnp.where(
-                            (pin_g & blend_on & (gc > 0))[:, None],
+                            (pin_g & blend_on)[:, None],
                             lv + cfg.grip_linear * (v_h - lv),
                             lv,
                         )
@@ -805,6 +829,20 @@ class ArmEnv:
         )
         return state
 
+    def set_init_state_pool(self, pool) -> None:
+        """Install an initial-state pool (see ``utils/init_pool``).
+        Re-jit resets after calling."""
+        from ..utils.init_pool import stack_pool
+
+        self._init_pool = stack_pool(pool) if isinstance(pool, list) else pool
+
+    def _apply_reset_variants(self, state, key):
+        from .assembly import apply_reset_variants
+
+        return apply_reset_variants(
+            self.ops, self.config, self._init_pool, state, key
+        )
+
     def reset(self, key) -> ArmState:
         state = self._reset_unsettled(key)
 
@@ -819,7 +857,7 @@ class ArmEnv:
             state.group,
             self.config.sim,
         )
-        return state._replace(parts=parts)
+        return self._apply_reset_variants(state._replace(parts=parts), key)
 
     def observe(self, state: ArmState) -> dict:
         cfg = self.config
@@ -1041,7 +1079,9 @@ class ArmEnv:
             lin_vel=jnp.zeros_like(parts.lin_vel),
             ang_vel=jnp.zeros_like(parts.ang_vel),
         )
-        return states._replace(parts=parts)
+        return jax.vmap(self._apply_reset_variants)(
+            states._replace(parts=parts), keys
+        )
 
     def _mega_substeps(self, states: ArmState, ctrl, tau_extra, n: int) -> ArmState:
         """One control step of ``n`` coupled substeps for the whole batch via

@@ -350,6 +350,88 @@ class AssemblyOps:
             ).astype(jnp.int32)
         return jnp.array([-1, -1], jnp.int32)
 
+    def preassemble(self, state, subtasks):
+        """Start with the given recipe subtasks already connected — the
+        reference's ``--preassembled`` weld activation + site snapping at
+        reset (``env/furniture.py:1492-1566``; target orientation per
+        ``_project_connector_quat`` :1201-1222).
+
+        ``subtasks`` is a static tuple of recipe row indices; each snap is
+        unrolled at trace time and reuses :meth:`snap_connect` (weld
+        bookkeeping, group merge, floor lift) with the leg site moved onto
+        the table site at the recipe angle.
+        """
+        import numpy as np
+
+        m = self.model
+        for i in subtasks:
+            s_leg = int(np.asarray(m.recipe_site1)[i])
+            s_tab = int(np.asarray(m.recipe_site2)[i])
+            ang = float(np.asarray(m.recipe_angle)[i])
+            _, cquat = self.conn_world(state.parts)
+            up1 = T.up_vector_from_quat(cquat[s_tab])
+            fwd1 = T.forward_vector_from_quat(cquat[s_tab])
+            if np.isnan(ang):
+                # free-angle connector: nearest of the two in-plane
+                # projections of the leg forward (env/furniture.py:1206-1217)
+                fwd2 = T.forward_vector_from_quat(cquat[s_leg])
+                cos = T.cos_siml(fwd1, fwd2)
+                fp = T.rotate_vector_cos_siml(fwd1, up1, cos, 1.0)
+                fn = T.rotate_vector_cos_siml(fwd1, up1, cos, -1.0)
+                fwd_r = jnp.where(
+                    T.cos_siml(fp, fwd2) > T.cos_siml(fn, fwd2), fp, fn
+                )
+            else:
+                fwd_r = T.rotate_vector(fwd1, up1, ang)
+            target = T.lookat_to_quat(up1, fwd_r)
+            state = self.snap_connect(
+                state, jnp.asarray(s_tab), jnp.asarray(s_leg), target
+            )
+        # preassembly is not a live connect event: clear the snap-back
+        # bookkeeping the env step loop reacts to (env/furniture.py:1560-1562)
+        return state._replace(
+            connected_body1=jnp.array(-1, jnp.int32),
+            connect_step=jnp.array(0, jnp.int32),
+        )
+
+
+def apply_reset_variants(ops: AssemblyOps, config, pool, state, key):
+    """Recipe preassembly + init-state-pool sampling for a freshly placed
+    state (reference reset tail, ``env/furniture.py:1433-1434, 1492-1566``).
+
+    ``pool`` is a dict of stacked arrays (see ``utils/init_pool``) or None.
+    Shared by CursorEnv and ArmEnv resets; pure and vmappable.
+    """
+    if config.preassembled:
+        state = ops.preassemble(state, config.preassembled)
+    if pool is not None:
+        k_i, k_u = jax.random.split(jax.random.fold_in(key, 0x1517))
+        n = len(pool["pos"])
+        i = jax.random.randint(k_i, (), 0, n)
+        use = jax.random.uniform(k_u) > 0.2      # env/furniture.py:1433
+        pick = lambda name, cur: jnp.where(
+            use, jnp.asarray(pool[name], cur.dtype)[i], cur
+        )
+        state = state._replace(
+            parts=state.parts._replace(
+                pos=pick("pos", state.parts.pos),
+                quat=pick("quat", state.parts.quat),
+                lin_vel=jnp.zeros_like(state.parts.lin_vel),
+                ang_vel=jnp.zeros_like(state.parts.ang_vel),
+            ),
+            group=pick("group", state.group),
+            weld_active=pick("weld_active", state.weld_active),
+            conn_connected=pick("conn_connected", state.conn_connected),
+            num_connected=pick("num_connected", state.num_connected),
+        )
+        if hasattr(state, "qpos") and "qpos" in pool:
+            state = state._replace(
+                qpos=pick("qpos", state.qpos),
+                qvel=pick("qvel", state.qvel),
+            )
+        state = state._replace(subtask=ops.next_subtask(state.group))
+    return state
+
 
 def sample_placement(model, cfg, key):
     """Randomized initial part placement with overlap rejection

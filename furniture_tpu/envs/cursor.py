@@ -82,14 +82,41 @@ class CursorEnv:
         self._P = m.n_parts
         self._C = m.n_conn
         self._W = m.n_welds
-        # success criterion: config override, else recipe num_connects, else W
+        # success criterion: config override, else recipe num_connects, else
+        # W. With num_connects set, preassembled connects count on top of it
+        # (env/furniture.py:1479)
         nc = self.config.num_connects
-        self.success_num_connects = int(nc if nc is not None else m.num_connects)
+        if nc is not None:
+            self.success_num_connects = int(nc) + len(self.config.preassembled)
+        else:
+            self.success_num_connects = int(m.num_connects)
         self.dof = 15
         # shared assembly machinery (alignment / connect / weld bookkeeping)
         self.ops = AssemblyOps(self.model, self.config, self.tables)
         self._batched_substeps = make_batched_substeps(
             self.tables, self.config.sim, self.substep
+        )
+        # initial-state pool (env/furniture.py:127-130; see utils/init_pool)
+        self._init_pool = None
+        if self.config.load_init_states:
+            from ..utils.init_pool import load_pool
+
+            self._init_pool = load_pool(self.config.load_init_states)
+
+    def set_init_state_pool(self, pool) -> None:
+        """Install an initial-state pool (dict of stacked arrays or list of
+        snapshots — see ``utils/init_pool``). Re-jit resets after calling."""
+        from ..utils.init_pool import stack_pool
+
+        self._init_pool = stack_pool(pool) if isinstance(pool, list) else pool
+
+    def _apply_reset_variants(self, state, key):
+        """Recipe preassembly + init-state-pool sampling (see
+        ``assembly.apply_reset_variants``)."""
+        from .assembly import apply_reset_variants
+
+        return apply_reset_variants(
+            self.ops, self.config, self._init_pool, state, key
         )
 
     def _conn_world(self, parts: PartState):
@@ -315,7 +342,7 @@ class CursorEnv:
             lin_vel=jnp.zeros_like(parts.lin_vel),
             ang_vel=jnp.zeros_like(parts.ang_vel),
         )
-        return self._initial_state(parts)
+        return self._apply_reset_variants(self._initial_state(parts), key)
 
     def reset_batch(self, keys) -> CursorState:
         """Batched reset: vmapped placement, settle through the batched
@@ -340,7 +367,9 @@ class CursorEnv:
             lin_vel=jnp.zeros_like(parts.lin_vel),
             ang_vel=jnp.zeros_like(parts.ang_vel),
         )
-        return jax.vmap(self._initial_state)(parts)
+        return jax.vmap(self._apply_reset_variants)(
+            jax.vmap(self._initial_state)(parts), keys
+        )
 
     def observe(self, state: CursorState) -> dict:
         """Observation dict matching the reference layout

@@ -221,21 +221,23 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
     def __init__(self, config: EnvConfig | None = None, model=None):
         # the scripted carry commands fast mid-air reorientations of the
         # grasped leg; the default grip-blend strength (0.3, tuned for demo
-        # replay) lets the leg swing and escape. Until force-closed finger
-        # servos land, the generator env floors the blends at 0.6 — the
-        # strength at which full 4-connect assemblies complete (probed over
-        # 32-episode TPU batches; 0.9 over-couples and re-destabilizes).
+        # replay) lets the leg swing and escape. With the rigid-carry blend
+        # target (hand point velocity at the group COM, gated on the squeeze
+        # servo) the generator floors the blends at 0.9/1.0 — near-rigid
+        # tracking, the effective behavior of the reference's force-closed
+        # kp≈1e5 grasp (probed over 32-episode TPU batches).
         import dataclasses
 
+        _GT, _GL = 0.9, 1.0
         if config is not None:
             sim = config.sim
-            if sim.grip_torsion < 0.6 or sim.grip_linear < 0.6:
+            if sim.grip_torsion < _GT or sim.grip_linear < _GL:
                 config = dataclasses.replace(
                     config,
                     sim=dataclasses.replace(
                         sim,
-                        grip_torsion=max(0.6, sim.grip_torsion),
-                        grip_linear=max(0.6, sim.grip_linear),
+                        grip_torsion=max(_GT, sim.grip_torsion),
+                        grip_linear=max(_GL, sim.grip_linear),
                     ),
                 )
         else:
@@ -243,7 +245,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             config = dataclasses.replace(
                 cfg0,
                 sim=dataclasses.replace(
-                    cfg0.sim, grip_torsion=0.6, grip_linear=0.6
+                    cfg0.sim, grip_torsion=_GT, grip_linear=_GL
                 ),
             )
         super().__init__(config, model)
@@ -399,10 +401,16 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         a = jnp.zeros(8)
 
         # --- phase branches; each returns (action, gen) ---
+        # travel waypoints (init-grip lift, carry waypoints, nogrip retreat)
+        # are coarse via points, not precision targets: a 1 cm per-axis
+        # tolerance limit-cycles against the IK target low-pass (the hand
+        # overshoots the deadband and orbits), so they accept 3x eps
+        wp_eps = 3.0 * self.eps
+
         def ph_init_grip(gen):
             act = a.at[6].set(-1.0)
             d, reached = _move_xyz(
-                gripbase, gen.safepos[gen.safepos_idx], self.eps
+                gripbase, gen.safepos[gen.safepos_idx], wp_eps
             )
             act = act.at[0:3].set(d)
             idx = jnp.where(reached, gen.safepos_idx + 1, gen.safepos_idx)
@@ -413,9 +421,16 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             )
 
         def ph_xy_move_g(gen):
+            # keep a safe traverse height: the reference enters this phase
+            # from a high start, but after a failed grasp the hand can be
+            # low, and a low open gripper plows into lying parts and bats
+            # them across the workspace
             act = a.at[6].set(-1.0)
             d, reached = _move_xy(grip_pos[:2], g_pos[:2], self.eps)
-            act = act.at[0:2].set(d)
+            climb = jnp.maximum(0.0, 0.35 - gripbase[2])
+            act = act.at[0:2].set(d).at[2].set(
+                jnp.where(climb > 0.02, climb, 0.0)
+            )
             return act, gen._replace(
                 phase=jnp.where(reached, ALIGN_G, gen.phase).astype(jnp.int32)
             )
@@ -476,7 +491,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             d, reached = _move_xyz(
                 gripbase,
                 gen.safepos[jnp.minimum(gen.safepos_idx, MAXW - 1)],
-                self.eps,
+                wp_eps,
             )
             act = act.at[0:3].set(jnp.where(done_wp, 0.0, d))
             idx = jnp.where(reached & ~done_wp, gen.safepos_idx + 1, gen.safepos_idx)
@@ -580,7 +595,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             d, reached = _move_xyz(
                 gripbase,
                 gen.safepos[jnp.minimum(gen.safepos_idx, MAXW - 1)],
-                self.eps,
+                wp_eps,
             )
             act = act.at[0:3].set(jnp.where(done_wp, 0.0, d))
             idx = jnp.where(reached & ~done_wp, gen.safepos_idx + 1, gen.safepos_idx)
@@ -628,7 +643,16 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             | (gen.phase == XY_MOVE_CONN)
             | (gen.phase == Z_MOVE_CONN)
         )
-        cap = jnp.where(carrying, 0.25, 1.0)
+        # pre-grasp approach is also capped (at 50%): full-speed saturated
+        # moves overshoot the IK target low-pass and orbit the 1 cm grasp
+        # tolerance instead of settling (41% of all generator time was
+        # measured inside XY_MOVE_G at full speed)
+        pregrasp = (
+            (gen.phase == INIT_GRIP)
+            | (gen.phase == XY_MOVE_G)
+            | (gen.phase == ALIGN_G)
+        )
+        cap = jnp.where(carrying, 0.25, jnp.where(pregrasp, 0.5, 1.0))
         action = action.at[0:3].set(jnp.clip(action[0:3], -cap, cap))
 
         # advance to next part when the env connected this part
@@ -664,7 +688,17 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         new_phase = jnp.where(
             regrasp, XY_MOVE_G, jnp.where(timed_out, fallthrough, gen.phase)
         )
-        reset_grasp = regrasp | (timed_out & (fallthrough == XY_MOVE_G))
+        # lift-first redirect applies to drop recoveries and to timeouts of
+        # the LOW phases (hand at grasp/carry height) — NOT to INIT_GRIP or
+        # XY_MOVE_G timeouts, whose fallthrough is XY_MOVE_G itself
+        # (redirecting those re-enters INIT_GRIP forever)
+        low_phase = (
+            (gen.phase == Z_MOVE_G)
+            | (gen.phase == XY_MOVE_CONN)
+            | (gen.phase == Z_MOVE_CONN)
+            | (gen.phase == Z_MOVE_CONN_FINE)
+        )
+        reset_grasp = regrasp | (timed_out & low_phase)
         # re-grasp goes through a lift-in-place waypoint first: after a drop
         # the hand is at carry height, and driving xy straight at the fallen
         # leg plows the open gripper into it at full speed, batting it

@@ -356,6 +356,12 @@ class ArmMegaPhysics:
             ).astype(np.float64)
             for arm in robot.arms
         ]
+        # full ancestry (all joint types) for the hand point-velocity used
+        # by the rigid-carry linear blend
+        self._eef_anc_all = [
+            robot.ancestor[robot.eef_body[arm]].astype(np.float64)
+            for arm in robot.arms
+        ]
         # gripper actuators per arm (for the contact-aware squeeze servo)
         self._grip_meta = [
             dict(
@@ -1028,21 +1034,14 @@ class ArmMegaPhysics:
                 ext_g = jnp.max(member * ext[None, :, :], axis=1)
                 blend_on = ext_g <= 0
 
-                # per-part active-finger-lane velocity sums/counts (TMAP
-                # rows are (arm, side, part) one-hot over robot lanes)
-                if gl > 0:
-                    vr_act = tuple(c * rmask for c in velb_r)
-                    vs = tuple(
-                        jnp.dot(TMAP, c, preferred_element_type=jnp.float32)
-                        for c in vr_act
-                    )                                            # [NT,Bb]
-                    cnts = jnp.dot(
-                        TMAP, rmask, preferred_element_type=jnp.float32
-                    )
                 for a_i in range(self.n_arms):
                     tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
                     tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
-                    pin = tl * tr                                     # [P,Bb]
+                    # pinched = both fingers touch AND the squeeze servo is
+                    # engaged — a mere double-touch (open gripper brushing a
+                    # lying part during traverse) must NOT trigger the
+                    # velocity override or the part is slammed to hand speed
+                    pin = tl * tr * deeps[a_i].astype(jnp.float32)    # [P,Bb]
                     pin_g = jnp.max(member * pin[None, :, :], axis=1)
                     if gt > 0:
                         anc_h = self._eef_anc[a_i]
@@ -1062,22 +1061,37 @@ class ArmMegaPhysics:
                             for c, wh in zip(av, (whx, why, whz))
                         )
                     if gl > 0:
-                        # group-aggregated mean finger-surface velocity
-                        # (same group blend as envs/arm grip_linear)
-                        l0, l1 = (2 * a_i) * P, (2 * a_i + 1) * P
-                        r0, r1 = l1, (2 * a_i + 2) * P
-                        vs_p = tuple(c[l0:l1] + c[r0:r1] for c in vs)
-                        cnt_p = cnts[l0:l1] + cnts[r0:r1]         # [P,Bb]
-                        gvs = tuple(
-                            jnp.sum(member * c[None, :, :], axis=1)
-                            for c in vs_p
-                        )
-                        gc = jnp.sum(member * cnt_p[None, :, :], axis=1)
-                        blend = (pin_g > 0) & (gc > 0) & blend_on
-                        denom = jnp.maximum(gc, 1.0)
+                        # rigid-carry target: hand point velocity at the
+                        # held group's COM, v(g_com) = Σ_j q̇_j φ_j(g_com)
+                        # over the eef body's joint ancestry — exact from
+                        # the joint state (same math as envs/arm
+                        # grip_linear via point_jacobian)
+                        anc_all = self._eef_anc_all[a_i]
+                        vhx = jnp.zeros_like(g_com[0])
+                        vhy = jnp.zeros_like(g_com[0])
+                        vhz = jnp.zeros_like(g_com[0])
+                        for j in range(NJ):
+                            if anc_all[j] == 0.0:
+                                continue
+                            qvj = qv[j : j + 1]
+                            if self._jnt_meta[j]["jtype"] == _HINGE:
+                                dvec = tuple(
+                                    gc_ - o
+                                    for gc_, o in zip(g_com, anchor_w[j])
+                                )
+                                phi = _cross(axis_w[j], dvec)
+                            else:
+                                phi = tuple(
+                                    jnp.broadcast_to(c, g_com[0].shape)
+                                    for c in axis_w[j]
+                                )
+                            vhx = vhx + qvj * phi[0]
+                            vhy = vhy + qvj * phi[1]
+                            vhz = vhz + qvj * phi[2]
+                        blend = (pin_g > 0) & blend_on
                         lv = tuple(
-                            jnp.where(blend, c + gl * (g / denom - c), c)
-                            for c, g in zip(lv, gvs)
+                            jnp.where(blend, c + gl * (vh - c), c)
+                            for c, vh in zip(lv, (vhx, vhy, vhz))
                         )
 
             return (new_pos, new_quat, lv, av, qp_cl, qv_new, touch_new)

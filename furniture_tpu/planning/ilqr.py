@@ -134,10 +134,20 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
         return jnp.sum(cs) + terminal_cost(xs[-1])
 
     def linearize(xs, us):
-        """Per-step dynamics/cost expansions, batched over the horizon."""
+        """Per-step dynamics/cost expansions, batched over the horizon.
+
+        A and B come from ONE jacrev over the concatenated (x,u) input: the
+        n output VJP pulls are shared between them (two separate jacrev
+        calls would re-run every pull twice)."""
         ts = jnp.arange(H)
-        A = jax.vmap(jax.jacrev(f, argnums=0))(xs[:-1], us)     # [H,n,n]
-        B = jax.vmap(jax.jacrev(f, argnums=1))(xs[:-1], us)     # [H,n,m]
+        n = xs.shape[-1]
+        J = jax.vmap(
+            lambda x, u: jax.jacrev(
+                lambda z: f(z[:n], z[n:])
+            )(jnp.concatenate([x, u]))
+        )(xs[:-1], us)                                          # [H,n,n+m]
+        A = J[:, :, :n]
+        B = J[:, :, n:]
 
         def cost_grads(x, u, t):
             cx = jax.grad(running_cost, argnums=0)(x, u, t)
@@ -264,15 +274,34 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
     return plan
 
 
-def flatten_env_dynamics(env, template_state, substeps: int | None = None):
+def flatten_env_dynamics(
+    env,
+    template_state,
+    substeps: int | None = None,
+    smooth_grads: bool = True,
+):
     """Adapt an env to flat-vector dynamics for iLQR.
 
     Differentiates the *continuous* physics only: the returned ``f`` maps the
-    flattened continuous leaves (part poses/velocities + joint state) through
+    flattened continuous leaves (part poses + joint state) through
     ``n_substeps`` of the env's physics with the discrete bookkeeping (rigid
     groups, weld masks, counters) frozen at ``template_state``'s values —
     the standard smooth-dynamics surrogate for contact-rich trajectory
     optimization.
+
+    Cursor dynamics zero part velocities at every control step (reference
+    ``env/furniture.py:2857-2887``), so velocities are NOT part of the flat
+    state — keeping them would add 30 zero-derivative outputs to every
+    ``jacrev`` pull in the linearizer.
+
+    ``smooth_grads=True`` (cursor env) installs a gradient surrogate via
+    ``jax.custom_vjp``: the primal runs the full contact physics, while the
+    backward pass differentiates the SAME step with the contact-impulse
+    solver disabled (``solver_iters=0``). Pullback cost drops by the whole
+    solver loop; the planner keeps exact trajectories/costs and smooth
+    free-flight + held-group steering derivatives — the standard
+    smooth-model trick for contact iLQR (the impulse derivative it drops is
+    piecewise constant and noisy through unrolled Jacobi anyway).
 
     Returns (f, x0, unravel): ``f(x, u) -> x'``, the initial flat state, and
     the pytree unravel function.
@@ -283,11 +312,11 @@ def flatten_env_dynamics(env, template_state, substeps: int | None = None):
     cont = {
         "pos": template_state.parts.pos,
         "quat": template_state.parts.quat,
-        "lin_vel": template_state.parts.lin_vel,
-        "ang_vel": template_state.parts.ang_vel,
     }
     has_robot = hasattr(template_state, "qpos")
     if has_robot:
+        cont["lin_vel"] = template_state.parts.lin_vel
+        cont["ang_vel"] = template_state.parts.ang_vel
         cont["qpos"] = template_state.qpos
         cont["qvel"] = template_state.qvel
     if isinstance(env, CursorEnv):
@@ -302,56 +331,78 @@ def flatten_env_dynamics(env, template_state, substeps: int | None = None):
         sel = np.asarray(template_state.selected)
         cfg = env.config
 
-        def f(x, u):
-            c = unravel(x)
-            parts = template_state.parts._replace(
-                pos=c["pos"], quat=c["quat"],
-                lin_vel=c["lin_vel"], ang_vel=c["ang_vel"],
-            )
-            group = template_state.group
-            cursor = c["cursor_pos"]
-            held = jnp.zeros(env.model.n_parts, bool)
-            # smooth surrogate of _step_discrete (env/furniture.py:800-845):
-            # cursor teleport + rigid-group co-move/rotate, without the
-            # non-smooth boundary-revert branches
-            for i in range(2):
-                act = u[7 * i : 7 * i + 7]
-                move = act[:3] * cfg.move_speed
-                cursor = cursor.at[i].add(move)
-                if sel[i] < 0:
-                    continue
-                base = int(sel[i])
-                held = held | (group == group[base])
-                target_quat = T.euler_to_quat(
-                    act[3:6] * cfg.rotate_speed, parts.quat[base]
-                )
-                parts = env.ops.move_group(
-                    parts, group, base, move, target_quat
-                )
-            cursor = jnp.clip(cursor, -cfg.cursor_boundary, cfg.cursor_boundary)
+        # contact-free substep for the gradient surrogate
+        if smooth_grads:
+            import dataclasses
 
-            # reference control step (env/furniture.py:2857-2887): all part
-            # velocities zeroed, held groups gravity-compensated, settle
-            from ..physics.engine import substeps as substeps_fn
+            from ..physics.engine import make_substep
 
-            parts = parts._replace(
-                lin_vel=jnp.zeros_like(parts.lin_vel),
-                ang_vel=jnp.zeros_like(parts.ang_vel),
+            substep_smooth = make_substep(
+                env.tables, dataclasses.replace(cfg.sim, solver_iters=0)
             )
-            gscale = jnp.where(held, 0.0, 1.0)
-            parts = substeps_fn(env.substep, parts, group, gscale, n_sub)
-            hold3 = held[:, None]
-            parts = parts._replace(
-                lin_vel=jnp.where(hold3, 0.0, parts.lin_vel),
-                ang_vel=jnp.where(hold3, 0.0, parts.ang_vel),
-            )
-            out = dict(c)
-            out.update(
-                pos=parts.pos, quat=parts.quat,
-                lin_vel=parts.lin_vel, ang_vel=parts.ang_vel,
-                cursor_pos=cursor,
-            )
-            return ravel_pytree(out)[0]
+
+        def make_f(substep_fn):
+            def f_impl(x, u):
+                c = unravel(x)
+                parts = template_state.parts._replace(
+                    pos=c["pos"], quat=c["quat"],
+                    lin_vel=jnp.zeros_like(template_state.parts.lin_vel),
+                    ang_vel=jnp.zeros_like(template_state.parts.ang_vel),
+                )
+                group = template_state.group
+                cursor = c["cursor_pos"]
+                held = jnp.zeros(env.model.n_parts, bool)
+                # smooth surrogate of _step_discrete (env/furniture.py:
+                # 800-845): cursor teleport + rigid-group co-move/rotate,
+                # without the non-smooth boundary-revert branches
+                for i in range(2):
+                    act = u[7 * i : 7 * i + 7]
+                    move = act[:3] * cfg.move_speed
+                    cursor = cursor.at[i].add(move)
+                    if sel[i] < 0:
+                        continue
+                    base = int(sel[i])
+                    held = held | (group == group[base])
+                    target_quat = T.euler_to_quat(
+                        act[3:6] * cfg.rotate_speed, parts.quat[base]
+                    )
+                    parts = env.ops.move_group(
+                        parts, group, base, move, target_quat
+                    )
+                cursor = jnp.clip(
+                    cursor, -cfg.cursor_boundary, cfg.cursor_boundary
+                )
+
+                # reference control step (env/furniture.py:2857-2887): part
+                # velocities zeroed, held groups gravity-compensated, settle
+                from ..physics.engine import substeps as substeps_fn
+
+                gscale = jnp.where(held, 0.0, 1.0)
+                parts = substeps_fn(substep_fn, parts, group, gscale, n_sub)
+                out = dict(c)
+                out.update(pos=parts.pos, quat=parts.quat, cursor_pos=cursor)
+                return ravel_pytree(out)[0]
+
+            return f_impl
+
+        f_full = make_f(env.substep)
+        if smooth_grads:
+            f_smooth = make_f(substep_smooth)
+
+            @jax.custom_vjp
+            def f(x, u):
+                return f_full(x, u)
+
+            def f_fwd(x, u):
+                _, pullback = jax.vjp(f_smooth, x, u)
+                return f_full(x, u), pullback
+
+            def f_bwd(pullback, g):
+                return pullback(g)
+
+            f.defvjp(f_fwd, f_bwd)
+        else:
+            f = f_full
 
     else:
 

@@ -111,6 +111,59 @@ def test_up_correction_converges():
         assert float(v[2]) > 0.999, f"start {i}: v={v}"
 
 
+def test_gen_policy_connects_staged():
+    """The scripted policy CONNECTS (the previously-unasserted flagship
+    capability): from a staged mid-carry state — leg grasped under the
+    hand — the align/approach/fine phases must drive ``num_connected`` to 1.
+
+    Staging (rather than rolling the full grasp sequence from reset) keeps
+    the CPU cost bounded at ~250 steps; the grasp acquisition itself is
+    covered by ``test_gen_policy_progression``, and the full-episode
+    statistics live in the committed TPU artifact
+    (``runs/gen_stats_table_lack.json``).
+    """
+    from furniture_tpu.robots import kinematics as K
+
+    env = FurnitureSawyerGenEnv(EnvConfig(agent_type="Sawyer", control_type="ik"))
+    st = env._st
+    s = jax.jit(env.reset)(jax.random.PRNGKey(3))
+
+    # move leg 0 so its grasp midpoint sits at the grip site
+    fk_out = K.fk(env.robot, s.qpos)
+    grip_pos, _ = K.site_world(env.robot, fk_out, "right")
+    leg = int(np.asarray(st["leg"])[0])
+    gl = env._site_pos(s.parts, jnp.asarray(st["gl"])[0])
+    gr = env._site_pos(s.parts, jnp.asarray(st["gr"])[0])
+    shift = grip_pos - 0.5 * (gl + gr)
+    s = s._replace(
+        parts=s.parts._replace(pos=s.parts.pos.at[leg].add(shift))
+    )
+
+    step = jax.jit(env.step)
+    pol = jax.jit(env.scripted_action)
+
+    # close the gripper on the staged leg
+    a_close = jnp.zeros(env.dof).at[6].set(1.0)
+    for _ in range(8):
+        s, *_ = step(s, a_close)
+    assert bool(np.asarray(s.touch_l)[0, leg]) and bool(
+        np.asarray(s.touch_r)[0, leg]
+    ), "staged grasp did not close on the leg"
+
+    gen = jax.jit(env.init_policy_state)(s, jax.random.PRNGKey(1))
+    gen = gen._replace(
+        part=jnp.array(0, jnp.int32), phase=jnp.array(ALIGN_CONN, jnp.int32)
+    )
+    for i in range(250):
+        a, gen = pol(gen, s)
+        s, obs, rew, done, info = step(s, a)
+        if int(s.num_connected) >= 1:
+            break
+    assert int(s.num_connected) >= 1, (
+        f"no connect in 250 staged steps (end phase {int(gen.phase)})"
+    )
+
+
 def test_gen_policy_progression():
     """Scripted policy must grasp the leg and reach the alignment phases
     with the leg lifted."""
