@@ -33,6 +33,22 @@ from .. import transforms as T
 from ..physics.state import PartState
 
 
+def dyn_row(arr, i, n: int):
+    """``arr[i]`` for a TRACED scalar index, via one-hot contraction.
+
+    Batched dynamic gathers lower catastrophically on the TPU backend
+    (measured ~20x the surrounding math in the per-step connect sweep);
+    a one-hot multiply-sum fuses cleanly. Integer/bool arrays round-trip
+    through f32 exactly (part/group labels are tiny)."""
+    oh = jax.nn.one_hot(i, n, dtype=jnp.float32)
+    out = jnp.tensordot(oh, arr.astype(jnp.float32), axes=1)
+    if jnp.issubdtype(arr.dtype, jnp.integer):
+        return jnp.round(out).astype(arr.dtype)
+    if arr.dtype == jnp.bool_:
+        return out > 0.5
+    return out.astype(arr.dtype)
+
+
 class AssemblyOps:
     """Pure-function assembly helpers closed over one compiled model."""
 
@@ -67,7 +83,8 @@ class AssemblyOps:
         ``env/furniture.py:758-762``."""
         m = self.model
         site_w = self.site_world(parts)                      # [S,3]
-        in_group = group[jnp.asarray(m.site_part)] == group[ref_part]
+        ref_g = dyn_row(group, ref_part, self._P)
+        in_group = group[jnp.asarray(m.site_part)] == ref_g
         big = 1e9
         lo = jnp.min(jnp.where(in_group[:, None], site_w, big), axis=0)
         hi = jnp.max(jnp.where(in_group[:, None], site_w, -big), axis=0)
@@ -79,8 +96,13 @@ class AssemblyOps:
         """Rigidly rotate ``base_part``'s group about the base part's origin to
         ``target_quat`` and translate by ``move_offset``
         (``env/furniture.py:724-747`` via ``transform_to_target_quat``)."""
-        in_group = group == group[base_part]                 # [P]
-        base_pose = jnp.concatenate([parts.pos[base_part], parts.quat[base_part]])
+        in_group = group == dyn_row(group, base_part, self._P)  # [P]
+        base_pose = jnp.concatenate(
+            [
+                dyn_row(parts.pos, base_part, self._P),
+                dyn_row(parts.quat, base_part, self._P),
+            ]
+        )
         qpos = jnp.concatenate([parts.pos, parts.quat], axis=-1)  # [P,7]
         new_pos, new_quat = T.transform_to_target_quat(
             base_pose[None], qpos, target_quat[None]
@@ -127,11 +149,10 @@ class AssemblyOps:
         ok_a = (cos_fa > cfg.rot_dist_forward) & amask[:, None, :]
         any_ok = jnp.any(ok_a, axis=-1)                      # [C,C]
         first_a = jnp.argmax(ok_a, axis=-1)                  # [C,C]
-        f_ang = jnp.take_along_axis(
-            jnp.broadcast_to(f_rot[:, None], (C, C) + f_rot.shape[1:]),
-            first_a[..., None, None].repeat(3, -1),
-            axis=2,
-        )[:, :, 0]                                           # [C,C,3]
+        # one-hot contraction, not take_along_axis: the batched dynamic
+        # gather lowers catastrophically on TPU (see transforms.mat_to_quat)
+        sel_a = jax.nn.one_hot(first_a, f_rot.shape[1], dtype=f_rot.dtype)
+        f_ang = jnp.einsum("ija,iad->ijd", sel_a, f_rot)     # [C,C,3]
 
         # free-angle case (env/furniture.py:1088-1105)
         cos_ff = jnp.einsum("id,jd->ij", fwd, fwd)
@@ -204,22 +225,32 @@ class AssemblyOps:
         idx = jnp.argmax(flat)
         s1 = idx // self._C
         s2 = idx % self._C
-        return found, s1, s2, target_quat[s1, s2]
+        # one-hot contraction instead of target_quat[s1, s2]: under vmap the
+        # dynamic 2-D gather lowers catastrophically on TPU (measured 37 ms
+        # per 4096-lane batch step — ~20x the full alignment computation);
+        # the masked reduction is a clean fused multiply-sum
+        onehot = jax.nn.one_hot(idx, self._C * self._C, dtype=target_quat.dtype)
+        tq = jnp.sum(
+            onehot[:, None] * target_quat.reshape(self._C * self._C, 4), axis=0
+        )
+        return found, s1, s2, tq
 
     def snap_connect(self, state, s1, s2, target_quat):
         """Final connect: snap site2's group onto site1, weld, merge groups
         (``env/furniture.py:847-924`` + ``_align_connectors`` :1224)."""
         m = self.model
         conn_part = jnp.asarray(m.conn_part)
-        p1 = conn_part[s1]
-        p2 = conn_part[s2]
+        p1 = dyn_row(conn_part, s1, self._C)
+        p2 = dyn_row(conn_part, s2, self._C)
         cpos, _ = self.conn_world(state.parts)
-        site1_pos = cpos[s1]
-        site2_pos = cpos[s2]
+        site1_pos = dyn_row(cpos, s1, self._C)
+        site2_pos = dyn_row(cpos, s2, self._C)
 
         # rigid map x -> A(x - site2) + site1 with A = target ∘ q(part2)^-1
-        A = T.quat_mul(target_quat, T.quat_inv(state.parts.quat[p2]))
-        in2 = state.group == state.group[p2]
+        q_p2 = dyn_row(state.parts.quat, p2, self._P)
+        g_p2 = dyn_row(state.group, p2, self._P)
+        A = T.quat_mul(target_quat, T.quat_inv(q_p2))
+        in2 = state.group == g_p2
         new_pos = T.quat_rotate(A[None], state.parts.pos - site2_pos[None]) + site1_pos[None]
         new_quat = T.quat_mul(A[None], state.parts.quat)
         parts = state.parts._replace(
@@ -234,24 +265,28 @@ class AssemblyOps:
         lo2, _ = self.group_bbox(parts, state.group, p2)
         min_z = jnp.minimum(lo1[2], lo2[2])
         lift = jnp.where(min_z < 0, -min_z, 0.0)
-        in_either = (state.group == state.group[p1]) | in2
+        g_p1 = dyn_row(state.group, p1, self._P)
+        in_either = (state.group == g_p1) | in2
         parts = parts._replace(
             pos=parts.pos.at[:, 2].add(jnp.where(in_either, lift, 0.0))
         )
 
         # weld bookkeeping + group merge (g(p1) label <- g(p2),
         # env/furniture.py:2749-2760)
-        weld_idx = jnp.asarray(m.weld_lookup)[p1, p2]
+        weld_row = dyn_row(jnp.asarray(m.weld_lookup), p1, self._P)
+        weld_idx = dyn_row(weld_row, p2, self._P)
         weld_active = jnp.where(
             (jnp.arange(self._W) == weld_idx) & (weld_idx >= 0),
             True,
             state.weld_active,
         )
-        g1 = state.group[p1]
-        g2 = state.group[p2]
-        group = jnp.where(state.group == g1, g2, state.group)
+        group = jnp.where(state.group == g_p1, g_p2, state.group)
 
-        conn_connected = state.conn_connected.at[s1].set(True).at[s2].set(True)
+        conn_connected = (
+            state.conn_connected
+            | (jnp.arange(self._C) == s1)
+            | (jnp.arange(self._C) == s2)
+        )
 
         return state._replace(
             parts=parts,
@@ -261,8 +296,8 @@ class AssemblyOps:
             num_connected=state.num_connected + 1,
             connect_step=jnp.array(0),
             connected_body1=p1,
-            connected_body1_pos=parts.pos[p1],
-            connected_body1_quat=parts.quat[p1],
+            connected_body1_pos=dyn_row(parts.pos, p1, self._P),
+            connected_body1_quat=dyn_row(parts.quat, p1, self._P),
             subtask=self.next_subtask(group),
         )
 
@@ -292,20 +327,20 @@ class AssemblyOps:
         is identical)."""
         m = self.model
         conn_part = jnp.asarray(m.conn_part)
-        p2 = conn_part[s2]
+        p2 = dyn_row(conn_part, s2, self._C)
         cpos, _ = self.conn_world(state.parts)
-        site1_pos = cpos[s1]
-        site2_pos = cpos[s2]
+        site1_pos = dyn_row(cpos, s1, self._C)
+        site2_pos = dyn_row(cpos, s2, self._C)
 
-        A = T.quat_mul(target_quat, T.quat_inv(state.parts.quat[p2]))
-        body_target_pos = T.quat_rotate(A, state.parts.pos[p2] - site2_pos) + site1_pos
-        body_target_quat = T.quat_mul(A, state.parts.quat[p2])
+        cur_pos = dyn_row(state.parts.pos, p2, self._P)
+        cur_quat = dyn_row(state.parts.quat, p2, self._P)
+        A = T.quat_mul(target_quat, T.quat_inv(cur_quat))
+        body_target_pos = T.quat_rotate(A, cur_pos - site2_pos) + site1_pos
+        body_target_quat = T.quat_mul(A, cur_quat)
 
         N = self.config.num_connect_steps
         k = state.connect_step
         frac = 0.9 / jnp.maximum(N - k, 1).astype(jnp.float32)
-        cur_pos = state.parts.pos[p2]
-        cur_quat = state.parts.quat[p2]
         step_pos = cur_pos + frac * (body_target_pos - cur_pos)
         step_quat = T.quat_slerp(cur_quat, body_target_quat, frac)
 

@@ -139,20 +139,23 @@ class CursorEnv:
         d = jnp.maximum(jnp.abs(local) - sizes, 0.0)
         dist = jnp.linalg.norm(d, axis=-1)                   # [G]
         touch_geom = dist <= _CURSOR_MARGIN
-        return (
-            jax.ops.segment_max(
-                touch_geom.astype(jnp.int32), gpart, num_segments=self._P
-            )
-            > 0
+        # static [P,G] membership mask instead of segment_max: batched
+        # scatter-reductions lower poorly on TPU; the masked any() fuses
+        part_of = jnp.asarray(
+            self.tables["geom_part"][None, :]
+            == np.arange(self._P)[:, None]
         )
+        return jnp.any(part_of & touch_geom[None, :], axis=1)
 
     def _try_connect(self, state: CursorState) -> CursorState:
         """Cursor connect: both held groups' conn sites are the candidates
         (``env/furniture.py:836-845``)."""
+        from .assembly import dyn_row
+
         m = self.model
         conn_group = state.group[jnp.asarray(m.conn_part)]   # [C]
-        g1 = state.group[jnp.maximum(state.selected[0], 0)]
-        g2 = state.group[jnp.maximum(state.selected[1], 0)]
+        g1 = dyn_row(state.group, jnp.maximum(state.selected[0], 0), self._P)
+        g2 = dyn_row(state.group, jnp.maximum(state.selected[1], 0), self._P)
         prev = state.num_connected
         state = self.ops.try_connect(state, conn_group == g1, conn_group == g2)
         # deselect cursor 1 on successful connect (env/furniture.py:918-920)
@@ -185,8 +188,10 @@ class CursorEnv:
         holding = state.selected[idx] >= 0
 
         def do_move_obj(st: CursorState) -> CursorState:
+            from .assembly import dyn_row
+
             sel = jnp.maximum(st.selected[idx], 0)
-            base_quat = st.parts.quat[sel]
+            base_quat = dyn_row(st.parts.quat, sel, self._P)
             target_quat = T.euler_to_quat(rot, base_quat)
             moved = self.ops.move_group(st.parts, st.group, sel, move, target_quat)
             lo, hi = self.ops.group_bbox(moved, st.group, sel)
@@ -210,15 +215,17 @@ class CursorEnv:
 
         # acquire selection (env/furniture.py:785-798)
         def do_select(st: CursorState) -> CursorState:
+            from .assembly import dyn_row
+
             overlap = self._part_overlaps_cursor(st.parts, st.cursor_pos[idx])
             sel0 = st.selected[0]
             sel1 = st.selected[1]
             g = st.group
+            g0 = dyn_row(g, jnp.maximum(sel0, 0), self._P)
+            g1 = dyn_row(g, jnp.maximum(sel1, 0), self._P)
             taken = jnp.zeros(self._P, bool)
-            taken = jnp.where(sel0 >= 0, g == g[jnp.maximum(sel0, 0)], taken)
-            taken = jnp.where(
-                sel1 >= 0, taken | (g == g[jnp.maximum(sel1, 0)]), taken
-            )
+            taken = jnp.where(sel0 >= 0, g == g0, taken)
+            taken = jnp.where(sel1 >= 0, taken | (g == g1), taken)
             cand = overlap & ~taken
             any_c = jnp.any(cand)
             first = jnp.argmax(cand)
@@ -406,14 +413,13 @@ class CursorEnv:
             state,
         )
 
+        from .assembly import dyn_row
+
         held = jnp.zeros(self._P, bool)
         for i in range(2):
             sel = state.selected[i]
-            held = jnp.where(
-                sel >= 0,
-                held | (state.group == state.group[jnp.maximum(sel, 0)]),
-                held,
-            )
+            g_sel = dyn_row(state.group, jnp.maximum(sel, 0), self._P)
+            held = jnp.where(sel >= 0, held | (state.group == g_sel), held)
         return state, held
 
     def _snap_move(self, state: CursorState) -> PartState:
@@ -513,17 +519,25 @@ class CursorEnv:
         )
         states = states._replace(parts=parts)
 
-        # post-connect snap-back (computed for every lane, selected by mask —
-        # the vmapped lax.cond in `step` executes both branches anyway)
+        # post-connect snap-back, gated at BATCH level: connects are rare
+        # (a handful per episode), so the whole snap+settle (a second
+        # megakernel launch) is skipped via a real runtime branch unless
+        # some lane connected this step
         snap = states.connected_body1 >= 0
-        moved = jax.vmap(self._snap_move)(states)
-        settled = self._batched_substeps(moved, states.group, gscale, 1)
-        sel = snap[:, None, None]
-        parts = PartState(
-            pos=jnp.where(sel, settled.pos, states.parts.pos),
-            quat=jnp.where(sel, settled.quat, states.parts.quat),
-            lin_vel=jnp.where(sel, settled.lin_vel, states.parts.lin_vel),
-            ang_vel=jnp.where(sel, settled.ang_vel, states.parts.ang_vel),
+
+        def do_snap(states):
+            moved = jax.vmap(self._snap_move)(states)
+            settled = self._batched_substeps(moved, states.group, gscale, 1)
+            sel = snap[:, None, None]
+            return PartState(
+                pos=jnp.where(sel, settled.pos, states.parts.pos),
+                quat=jnp.where(sel, settled.quat, states.parts.quat),
+                lin_vel=jnp.where(sel, settled.lin_vel, states.parts.lin_vel),
+                ang_vel=jnp.where(sel, settled.ang_vel, states.parts.ang_vel),
+            )
+
+        parts = jax.lax.cond(
+            jnp.any(snap), do_snap, lambda s: s.parts, states
         )
         states = states._replace(
             parts=parts,

@@ -51,12 +51,16 @@ def assembly_cost(env):
         )
         any_open = jnp.any(open_mask)
         i = jnp.argmax(open_mask)
-        s1 = rs1[i]
-        s2 = rs2[i]
-        d = jnp.linalg.norm(cpos[s1] - cpos[s2])
-        up1 = T.up_vector_from_quat(cquat[s1])
-        up2 = T.up_vector_from_quat(cquat[s2])
-        misalign = 1.0 - jnp.sum(up1 * up2)
+        # one-hot contraction, not cpos[rs1[i]]: traced-index gathers lower
+        # catastrophically on TPU when this runs batched every rollout step
+        # (see transforms.mat_to_quat)
+        oh = jax.nn.one_hot(i, len(m.recipe_site1), dtype=cpos.dtype)
+        p1 = oh @ cpos[rs1]
+        p2 = oh @ cpos[rs2]
+        u1 = oh @ T.up_vector_from_quat(cquat[rs1])
+        u2 = oh @ T.up_vector_from_quat(cquat[rs2])
+        d = jnp.linalg.norm(p1 - p2)
+        misalign = 1.0 - jnp.sum(u1 * u2)
         progress = -10.0 * state.num_connected.astype(jnp.float32)
         return jnp.where(any_open, d + 0.3 * misalign, 0.0) + progress
 

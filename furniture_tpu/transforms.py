@@ -163,8 +163,13 @@ def mat_to_quat(m: jax.Array) -> jax.Array:
     cases = jnp.stack([c0, c1, c2, c3], axis=-2)  # [..., 4 cases, 4]
     scores = jnp.stack([tr, m00, m11, m22], axis=-1)
     best = jnp.argmax(scores, axis=-1)
-    q = jnp.take_along_axis(cases, best[..., None, None].repeat(4, -1), axis=-2)
-    return quat_normalize(q[..., 0, :])
+    # one-hot contraction, NOT take_along_axis: the dynamic gather lowers
+    # catastrophically on TPU when this runs batched inside the per-step
+    # alignment sweep (measured ~35 ms per 4096-env batch step vs ~1 ms
+    # for the fused multiply-sum)
+    sel = jax.nn.one_hot(best, 4, dtype=cases.dtype)          # [..., 4]
+    q = jnp.sum(sel[..., None] * cases, axis=-2)
+    return quat_normalize(q)
 
 
 def euler_to_quat(rot_deg: jax.Array, base_quat: jax.Array | None = None) -> jax.Array:

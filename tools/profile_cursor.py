@@ -28,15 +28,22 @@ from furniture_tpu.config import EnvConfig
 from furniture_tpu.envs.cursor import CursorEnv
 
 
+def _sync(out):
+    """Real device barrier: ``block_until_ready`` is not reliable on the
+    tunneled TPU platform (see bench.py) — fetch a data-dependent scalar."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf.astype(jnp.float32)))
+
+
 def median_time(fn, args, reps=5, evolve=None):
     out = fn(*args)
-    jax.tree.map(lambda a: a.block_until_ready(), out)
+    _sync(out)
     ts = []
     for i in range(reps):
         args = evolve(args, out, i) if evolve else args
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree.map(lambda a: a.block_until_ready(), out)
+        _sync(out)
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts), out
 
@@ -46,7 +53,7 @@ def main():
     env = CursorEnv(EnvConfig(furniture_name="table_lack_0825"))
     key = jax.random.PRNGKey(0)
     states = jax.jit(env.reset_batch)(jax.random.split(key, B))
-    n_sub = env.config.sim.n_substeps
+    n_sub = env.config.n_substeps
 
     def rollout_with(step):
         @jax.jit
