@@ -64,7 +64,15 @@ def make_render_fn(env, camera: Camera | None = None):
 
     is_cursor = hasattr(env, "dof") and not hasattr(env, "robot")
 
+    from ..models.compiler import BOX as _BOX
+
     if is_cursor:
+        # geom types are compile-time data: static partitioning lets render()
+        # run typed chunked broadcasts instead of the per-geom serial scan
+        types_static = tuple(np.asarray(tables["geom_type"]).tolist()) + (
+            _BOX,
+            _BOX,
+        )
 
         def render_state(state):
             scene = part_scene(tables, state.parts, albedo=palette[jnp.asarray(tables["geom_part"])])
@@ -74,7 +82,9 @@ def make_render_fn(env, camera: Camera | None = None):
                 jnp.array([P, P + 1], jnp.int32),
                 rgba=jnp.array([[0.15, 0.9, 0.9], [0.9, 0.25, 0.9]]),
             )
-            return render(merge_scenes(scene, cursors), cam)
+            return render(
+                merge_scenes(scene, cursors), cam, static_types=types_static
+            )
 
         return render_state
 
@@ -85,6 +95,10 @@ def make_render_fn(env, camera: Camera | None = None):
     robot_rgba = jnp.tile(jnp.array([0.55, 0.57, 0.62]), (len(r.geom_body), 1))
     robot_size = jnp.asarray(r.geom_size, jnp.float32)
     from ..models.compiler import BOX
+
+    types_static = tuple(np.asarray(tables["geom_type"]).tolist()) + (
+        _BOX,
+    ) * len(r.geom_body)
 
     def render_state(state):
         scene = part_scene(tables, state.parts, albedo=palette[jnp.asarray(tables["geom_part"])])
@@ -98,6 +112,8 @@ def make_render_fn(env, camera: Camera | None = None):
             seg=robot_seg,
             rgba=robot_rgba,
         )
-        return render(merge_scenes(scene, robot), cam)
+        return render(
+            merge_scenes(scene, robot), cam, static_types=types_static
+        )
 
     return render_state
