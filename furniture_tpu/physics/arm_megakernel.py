@@ -53,6 +53,7 @@ from .megakernel import (
     _CORNER_SIGNS,
     _cross,
     _dot3,
+    _edge_sat,
     _inv3_rows,
     _matcat,
     _qconj,
@@ -174,6 +175,27 @@ class ArmMegaPhysics:
         self.lp_dst_quat = gquat[lp_dst] if NP_ else np.zeros((0, 4), np.float32)
         self.lp_dst_size = sizes[lp_dst] if NP_ else np.zeros((0, 3), np.float32)
 
+        # ---- SAT edge/face lanes (one per pair; collide.edge_contacts) ----
+        self.Ke = NP_
+        e_ga = pairs[:, 0] if NP_ else np.zeros(0, int)
+        e_gb = pairs[:, 1] if NP_ else np.zeros(0, int)
+        self.ep_a = np.concatenate(
+            [gpos[e_ga], gquat[e_ga], sizes[e_ga]], axis=1
+        ).astype(np.float32) if NP_ else np.zeros((0, 10), np.float32)
+        self.ep_b = np.concatenate(
+            [gpos[e_gb], gquat[e_gb], sizes[e_gb]], axis=1
+        ).astype(np.float32) if NP_ else np.zeros((0, 10), np.float32)
+        psum = np.zeros((NP_, self.Kp), np.float32)
+        for p_i in range(NP_):
+            psum[p_i, p_i * 8 : (p_i + 1) * 8] = 1.0
+            psum[p_i, (NP_ + p_i) * 8 : (NP_ + p_i + 1) * 8] = 1.0
+        self.PAIRSUM = psum
+        edge_fric = (
+            np.maximum(fric[e_ga], fric[e_gb])
+            if NP_
+            else np.zeros(0, np.float32)
+        )
+
         # ---- robot lanes (mirror collide.robot_contacts lane order) ----
         rpairs = np.asarray(tables["_robot_pairs"]).reshape(-1, 2)
         NR = len(rpairs)
@@ -261,10 +283,12 @@ class ArmMegaPhysics:
         self.NT = tm.shape[0]
 
         # ---- combined lane tables for the solver ----
-        self.K = self.Kf + self.Kp + self.Kr
-        part_a = np.concatenate([lf_part, lp_part_a, lane_part_r]).astype(int)
+        self.K = self.Kf + self.Kp + self.Ke + self.Kr
+        part_a = np.concatenate(
+            [lf_part, lp_part_a, gp[e_ga], lane_part_r]
+        ).astype(int)
         part_b = np.concatenate(
-            [np.full(self.Kf, -1), lp_part_b, np.full(self.Kr, -1)]
+            [np.full(self.Kf, -1), lp_part_b, gp[e_gb], np.full(self.Kr, -1)]
         ).astype(int)
         has_b = part_b >= 0
         pb_safe = np.where(has_b, part_b, 0)
@@ -273,10 +297,12 @@ class ArmMegaPhysics:
         self.OB = self.OBS * has_b[:, None]
         self.OAp = _onehot(lp_part_a, P) if self.Kp else np.zeros((0, P), np.float32)
         self.OBp = _onehot(lp_part_b, P) if self.Kp else np.zeros((0, P), np.float32)
+        self.OAe = _onehot(gp[e_ga], P) if NP_ else np.zeros((0, P), np.float32)
+        self.OBe = _onehot(gp[e_gb], P) if NP_ else np.zeros((0, P), np.float32)
         self.OAf = _onehot(lf_part, P)
-        self.lane_fric = np.concatenate([lf_fric, lp_fric, lane_rfric]).astype(
-            np.float32
-        )
+        self.lane_fric = np.concatenate(
+            [lf_fric, lp_fric, edge_fric, lane_rfric]
+        ).astype(np.float32)
         # per-lane solref-derived Baumgarte fractions (collide.attach_betas)
         from .collide import attach_betas
 
@@ -288,7 +314,12 @@ class ArmMegaPhysics:
         )
         r_beta = np.concatenate([np.repeat(tables["_robot_beta"], NS)] * 2)
         self.lane_beta = np.concatenate(
-            [np.repeat(tables["_floor_beta"], 8), lp_beta, r_beta]
+            [
+                np.repeat(tables["_floor_beta"], 8),
+                lp_beta,
+                np.asarray(tables["_pair_beta"], np.float32),
+                r_beta,
+            ]
         ).astype(np.float32)
         self.floor_mask_p = np.stack(
             [lf_part == p for p in range(P)]
@@ -457,15 +488,21 @@ class ArmMegaPhysics:
         a2j_ref,
         sumj_ref,
         beta_ref,
+        epa_ref,
+        epb_ref,
+        oae_ref,
+        obe_ref,
+        psum_ref,
         ys_ref,
         yt_ref,
         *,
         n: int,
     ):
-        P, Kf, Kp, Kr1, Kr2, Kr, K = (
+        P, Kf, Kp, Ke, Kr1, Kr2, Kr, K = (
             self.P,
             self.Kf,
             self.Kp,
+            self.Ke,
             self.Kr1,
             self.Kr2,
             self.Kr,
@@ -549,9 +586,20 @@ class ArmMegaPhysics:
         A2J = a2j_ref[:]                       # [NJ,NA]
         SUMJ = sumj_ref[:]                     # [NJ,NJ²]
         BETA = beta_ref[:]                     # [K,1]
+        epa = epa_ref[:]                       # [Ke,10]
+        EA_P = tuple(col(epa, c) for c in range(3))
+        EA_Q = tuple(col(epa, 3 + c) for c in range(4))
+        EA_S = tuple(col(epa, 7 + c) for c in range(3))
+        epb = epb_ref[:]
+        EB_P = tuple(col(epb, c) for c in range(3))
+        EB_Q = tuple(col(epb, 3 + c) for c in range(4))
+        EB_S = tuple(col(epb, 7 + c) for c in range(3))
+        OAe = oae_ref[:]
+        OBe = obe_ref[:]
+        PSUM = psum_ref[:]                     # [Ke,Kp]
 
-        # robot-lane part one-hots are rows [Kf+Kp:] of OA; slice views
-        OA_r = OA[Kf + Kp :]
+        # robot-lane part one-hots are rows [Kf+Kp+Ke:] of OA; slice views
+        OA_r = OA[Kf + Kp + Ke :]
         member = (group[:, None, :] == group[None, :, :]).astype(jnp.float32)
         gl_a = _matcat(OAp, (group,))[0]
         gl_b = _matcat(OBp, (group,))[0]
@@ -663,6 +711,28 @@ class ArmMegaPhysics:
             )
             n_p = _qrot(wq_d, n_loc)
             fmask_p = inside * diff_group * (depth_p > -slop).astype(jnp.float32)
+
+            # SAT edge/face lane per pair where the corner manifold is
+            # empty (collide.edge_contacts; one lane per pair)
+            q_pae = _matcat(OAe, quat)
+            p_pae = _matcat(OAe, pos)
+            q_ea = _qmul(q_pae, EA_Q)
+            p_ea = tuple(p + c for p, c in zip(p_pae, _qrot(q_pae, EA_P)))
+            q_pbe = _matcat(OBe, quat)
+            p_pbe = _matcat(OBe, pos)
+            q_eb = _qmul(q_pbe, EB_Q)
+            p_eb = tuple(p + c for p, c in zip(p_pbe, _qrot(q_pbe, EB_P)))
+            pt_e, n_e, depth_e, inter_e = _edge_sat(
+                q_ea, p_ea, q_eb, p_eb, EA_S, EB_S, slop
+            )
+            corner_cnt = jnp.dot(
+                PSUM, fmask_p, preferred_element_type=jnp.float32
+            )
+            gl_ae = _matcat(OAe, (group,))[0]
+            gl_be = _matcat(OBe, (group,))[0]
+            fmask_e = (
+                inter_e & (corner_cnt <= 0.0) & (gl_ae != gl_be)
+            ).astype(jnp.float32)
 
             # robot side 1: part samples in robot box
             OAr = OA_r[:Kr1]
@@ -814,18 +884,20 @@ class ArmMegaPhysics:
 
             # ================= all-lane contact solve =================
             point = tuple(
-                jnp.concatenate([f, p, r], axis=0)
-                for f, p, r in zip(cw_f, cw_p, point_r)
+                jnp.concatenate([f, p, e, r], axis=0)
+                for f, p, e, r in zip(cw_f, cw_p, pt_e, point_r)
             )
             normal = tuple(
-                jnp.concatenate([f, p, r], axis=0)
-                for f, p, r in zip(n_f, n_p, normal_r)
+                jnp.concatenate([f, p, e, r], axis=0)
+                for f, p, e, r in zip(n_f, n_p, n_e, normal_r)
             )
-            depth = jnp.concatenate([depth_f, depth_p, depth_r], axis=0)
+            depth = jnp.concatenate(
+                [depth_f, depth_p, depth_e, depth_r], axis=0
+            )
             fmask = jnp.concatenate(
-                [fmask_f, fmask_p, rmask * (depth_r > -slop)], axis=0
+                [fmask_f, fmask_p, fmask_e, rmask * (depth_r > -slop)], axis=0
             )
-            zero_fp = jnp.zeros((Kf + Kp, Bb), jnp.float32)
+            zero_fp = jnp.zeros((Kf + Kp + Ke, Bb), jnp.float32)
             velb = tuple(jnp.concatenate([zero_fp, c], axis=0) for c in velb_r)
 
             gca = _matcat(OA, g_com)
@@ -929,7 +1001,7 @@ class ArmMegaPhysics:
 
             # ================= joint integration =================
             # contact reaction impulse onto the arm: p_c = Jᵀ(−λ)
-            imp_r = tuple(c[Kf + Kp :] for c in imp)             # [Kr,Bb]
+            imp_r = tuple(c[Kf + Kp + Ke :] for c in imp)        # [Kr,Bb]
             pc_rows = []
             for j in range(NJ):
                 if not couple:
@@ -1161,6 +1233,11 @@ class ArmMegaPhysics:
                 self.A2J,
                 self.SUMJ,
                 self.lane_beta[:, None].copy(),
+                self.ep_a,
+                self.ep_b,
+                self.OAe,
+                self.OBe,
+                self.PAIRSUM,
             )
         return tuple(jnp.asarray(a) for a in self._const_arrays)
 

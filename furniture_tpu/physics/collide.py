@@ -272,6 +272,157 @@ def concat_contacts(a: Contacts, b: Contacts) -> Contacts:
     return Contacts(*(jnp.concatenate([x, y]) for x, y in zip(a, b)))
 
 
+def edge_contacts(
+    model_np, pos, quat, group, slop: float, corner_hit=None
+) -> Contacts:
+    """SAT box-box contact, one lane per precompiled geom pair, emitted
+    only where the corner manifold came up empty.
+
+    The vertex-in-box manifolds of :func:`pair_contacts` miss edge-edge
+    configurations (two boxes crossing with no corner inside the other —
+    a part leaning across another's edge). MuJoCo's box-box narrow phase
+    emits these from its full SAT; here all 15 SAT axes (6 face + 9 edge
+    cross) are tested per pair, and when the boxes intersect but no corner
+    lane fired (``corner_hit`` [NP] bool from :func:`pair_contacts`), one
+    contact is emitted on the minimum-overlap axis at the midpoint of the
+    closest points of the two supporting edges.
+    """
+    pairs = model_np["_pairs"]
+    NP = len(pairs)
+    if NP == 0:
+        z3 = jnp.zeros((0, 3), jnp.float32)
+        z = jnp.zeros((0,), jnp.float32)
+        zi = jnp.zeros((0,), jnp.int32)
+        return Contacts(z3, z3, z, zi, zi, z, jnp.zeros((0,), bool), z3, z)
+
+    sizes = jnp.asarray(model_np["_box_sizes"], jnp.float32)
+    gpart = jnp.asarray(model_np["geom_part"])
+    wpos, wquat = _geom_world(model_np, pos, quat)
+    fric = jnp.asarray(model_np["geom_friction"], jnp.float32)
+
+    ga = jnp.asarray(pairs[:, 0])
+    gb = jnp.asarray(pairs[:, 1])
+    Ra = T.quat_to_mat(wquat[ga])                     # [NP,3,3] cols = axes
+    Rb = T.quat_to_mat(wquat[gb])
+    Sa = sizes[ga]                                    # [NP,3]
+    Sb = sizes[gb]
+    ca = wpos[ga]
+    cb = wpos[gb]
+    t = cb - ca                                       # [NP,3]
+
+    a_ax = jnp.swapaxes(Ra, 1, 2)                     # [NP,3(axis),3(world)]
+    b_ax = jnp.swapaxes(Rb, 1, 2)
+
+    # face-axis overlaps (the 6 of the 15 SAT axes the corner lanes cover)
+    dotAB = jnp.einsum("pid,pjd->pij", a_ax, b_ax)    # [NP,3,3] a_i·b_j
+    absAB = jnp.abs(dotAB)
+    ta = jnp.einsum("pd,pid->pi", t, a_ax)            # t·a_i
+    tb = jnp.einsum("pd,pjd->pj", t, b_ax)
+    ov_a = Sa + jnp.einsum("pj,pij->pi", Sb, absAB) - jnp.abs(ta)   # [NP,3]
+    ov_b = jnp.einsum("pi,pij->pj", Sa, absAB) + Sb - jnp.abs(tb)
+    face_min = jnp.minimum(ov_a.min(-1), ov_b.min(-1))               # [NP]
+
+    # 9 cross axes n_ij = a_i x b_j
+    n = jnp.cross(a_ax[:, :, None, :], b_ax[:, None, :, :])          # [NP,3,3,3]
+    n_len = jnp.linalg.norm(n, axis=-1)
+    parallel = n_len < 1e-6
+    n_hat = n / jnp.maximum(n_len, 1e-12)[..., None]
+    # projection radii: r_A = sum_k Sa_k |a_k·n| (the i-th term vanishes)
+    a_dot_n = jnp.einsum("pkd,pijd->pkij", a_ax, n_hat)              # [NP,3,3,3]
+    b_dot_n = jnp.einsum("pkd,pijd->pkij", b_ax, n_hat)
+    rA = jnp.einsum("pk,pkij->pij", Sa, jnp.abs(a_dot_n))
+    rB = jnp.einsum("pk,pkij->pij", Sb, jnp.abs(b_dot_n))
+    t_n = jnp.einsum("pd,pijd->pij", t, n_hat)
+    ov_e = rA + rB - jnp.abs(t_n)                                    # [NP,3,3]
+    # finite sentinel (not inf: inf*0 in the one-hot select below is NaN)
+    ov_e = jnp.where(parallel, 1e9, ov_e)
+
+    ov_flat = ov_e.reshape(NP, 9)
+    best = jnp.argmin(ov_flat, axis=-1)                              # [NP]
+    oh = jax.nn.one_hot(best, 9, dtype=jnp.float32)                  # [NP,9]
+
+    def pick(x):  # [NP,3,3,...] -> [NP,...] select best (i,j)
+        flat = x.reshape((NP, 9) + x.shape[3:])
+        return jnp.einsum("pn,pn...->p...", oh, flat)
+
+    edge_min = jnp.min(ov_flat, -1)                                  # [NP]
+    n_best = pick(n_hat)                                             # [NP,3]
+    tn_best = pick(t_n)
+    # orient the axis from B toward A: +normal pushes part_a (A) out
+    n_edge = jnp.where((tn_best > 0)[:, None], -n_best, n_best)
+
+    # best FACE axis of the 6 (for shallow crossings whose minimal
+    # separating axis is a face but no corner is contained)
+    ov6 = jnp.concatenate([ov_a, ov_b], -1)                          # [NP,6]
+    t6 = jnp.concatenate([ta, tb], -1)
+    axes6 = jnp.concatenate([a_ax, b_ax], 1)                         # [NP,6,3]
+    bf = jnp.argmin(ov6, -1)
+    ohf = jax.nn.one_hot(bf, 6, dtype=jnp.float32)
+    n_face_raw = jnp.einsum("pn,pnd->pd", ohf, axes6)
+    sgn_f = jnp.sign(jnp.sum(ohf * t6, -1))
+    n_face = -sgn_f[:, None] * n_face_raw                            # push A out
+
+    use_face = face_min < edge_min
+    n_out = jnp.where(use_face[:, None], n_face, n_edge)
+    depth_out = jnp.minimum(face_min, edge_min)
+
+    # supporting edges: direction a_i / b_j of the chosen axis pair
+    oh_i = jax.nn.one_hot(best // 3, 3, dtype=jnp.float32)           # [NP,3]
+    oh_j = jax.nn.one_hot(best % 3, 3, dtype=jnp.float32)
+    d1 = jnp.einsum("pi,pid->pd", oh_i, a_ax)                        # [NP,3]
+    d2 = jnp.einsum("pj,pjd->pd", oh_j, b_ax)
+    # edge anchor: extreme corner along -n_out for A (A is pushed +n_out,
+    # so its contact edge is on its -n_out... sign convention: A's support
+    # toward B is along -n_out), +n_out for B
+    sgn_a = jnp.sign(jnp.einsum("pkd,pd->pk", a_ax, -n_out))
+    sgn_b = jnp.sign(jnp.einsum("pkd,pd->pk", b_ax, n_out))
+    off_a = jnp.einsum("pk,pk,pkd->pd", Sa, sgn_a * (1.0 - oh_i), a_ax)
+    off_b = jnp.einsum("pk,pk,pkd->pd", Sb, sgn_b * (1.0 - oh_j), b_ax)
+    pa0 = ca + off_a
+    pb0 = cb + off_b
+    # closest points of the two edge lines, clamped to the edge extents
+    r12 = pb0 - pa0
+    d12 = jnp.sum(d1 * d2, -1)
+    denom = jnp.maximum(1.0 - d12 * d12, 1e-9)
+    r_d1 = jnp.sum(r12 * d1, -1)
+    r_d2 = jnp.sum(r12 * d2, -1)
+    s1 = (r_d1 - d12 * r_d2) / denom
+    s2 = (d12 * r_d1 - r_d2) / denom
+    half1 = jnp.sum(Sa * oh_i, -1)
+    half2 = jnp.sum(Sb * oh_j, -1)
+    s1 = jnp.clip(s1, -half1, half1)
+    s2 = jnp.clip(s2, -half2, half2)
+    point = 0.5 * (pa0 + s1[:, None] * d1 + pb0 + s2[:, None] * d2)
+
+    intersect = (
+        jnp.all(ov_a > -slop, -1)
+        & jnp.all(ov_b > -slop, -1)
+        & (edge_min > -slop)
+    )
+    pa_part = gpart[ga]
+    pb_part = gpart[gb]
+    same_group = group[pa_part] == group[pb_part]
+    if corner_hit is None:
+        corner_hit = jnp.zeros((NP,), bool)
+    # fire only where the corner manifold came up empty: co-existing with
+    # corner lanes would double-constrain face-dominated configurations
+    mask = intersect & ~corner_hit & ~same_group
+
+    pair_fric = jnp.maximum(fric[ga], fric[gb])
+    beta = jnp.asarray(model_np["_pair_beta"], jnp.float32)
+    return Contacts(
+        point=point,
+        normal=n_out,
+        depth=depth_out,
+        part_a=pa_part,
+        part_b=pb_part,
+        friction=pair_fric,
+        mask=mask,
+        vel_b=jnp.zeros_like(point),
+        beta=beta,
+    )
+
+
 def robot_contacts(
     model_np,
     robot_np,

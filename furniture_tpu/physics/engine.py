@@ -19,7 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import transforms as T
-from .collide import Contacts, concat_contacts, floor_contacts, pair_contacts
+from .collide import (
+    Contacts,
+    concat_contacts,
+    edge_contacts,
+    floor_contacts,
+    pair_contacts,
+)
 from .state import PartState
 
 
@@ -289,6 +295,19 @@ def make_substep(model_np, cfg_sim):
         pc = pair_contacts(
             model_np, state.pos, state.quat, group, cfg_sim.contact_slop
         )
+        # SAT edge/face lane for pairs whose corner manifold is empty
+        # (leaning/crossing parts, collide.edge_contacts)
+        NPp = len(model_np["_pairs"])
+        if NPp:
+            ch = (
+                pc.mask[: NPp * 8].reshape(NPp, 8).any(-1)
+                | pc.mask[NPp * 8 :].reshape(NPp, 8).any(-1)
+            )
+            ec = edge_contacts(
+                model_np, state.pos, state.quat, group,
+                cfg_sim.contact_slop, corner_hit=ch,
+            )
+            pc = concat_contacts(pc, ec)
         contacts = concat_contacts(fc, pc)
         n_base = contacts.depth.shape[0]
         if extra_contacts is not None:

@@ -122,6 +122,137 @@ def _inv3_rows(m, reg):
     ]
 
 
+def _edge_sat(q_a, p_a, q_b, p_b, SA, SB, slop):
+    """SAT box-box single-contact test, component-tuple form (one candidate
+    lane per geom pair; mirrors ``collide.edge_contacts``).
+
+    Inputs: geom world quats ``q_a/q_b`` (4-tuples of [NPp,Bb]), centers
+    ``p_a/p_b`` (3-tuples), half sizes ``SA/SB`` (3-tuples of [NPp,1]).
+    Returns ``(point3, normal3, depth, intersect)`` where ``intersect`` is
+    the all-15-axes overlap predicate and the contact is on the
+    minimum-overlap axis with the closest-edge-point midpoint.
+    """
+
+    def axes(q):
+        w, x, y, z = q
+        R = [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+        # column k = world direction of body axis k
+        return [(R[0][k], R[1][k], R[2][k]) for k in range(3)]
+
+    a_ax = axes(q_a)
+    b_ax = axes(q_b)
+    t = tuple(pb - pa for pa, pb in zip(p_a, p_b))
+
+    # 6 face axes: overlap + oriented normal candidates
+    big = 1e9
+    face_ov = None
+    face_n = None
+    for k in range(3):
+        for ax, S_self, S_oth, oth_ax in (
+            (a_ax[k], SA[k], SB, b_ax),
+            (b_ax[k], SB[k], SA, a_ax),
+        ):
+            r_oth = sum(
+                S_oth[m] * jnp.abs(_dot3(oth_ax[m], ax)) for m in range(3)
+            )
+            t_ax = _dot3(t, ax)
+            ov = S_self + r_oth - jnp.abs(t_ax)
+            # push A away from B: -sign(t·ax)·ax
+            s = jnp.sign(t_ax)
+            n_c = tuple(-s * c for c in ax)
+            if face_ov is None:
+                face_ov, face_n = ov, n_c
+            else:
+                better = ov < face_ov
+                face_n = tuple(
+                    jnp.where(better, nc, fn) for nc, fn in zip(n_c, face_n)
+                )
+                face_ov = jnp.minimum(ov, face_ov)
+
+    # 9 edge cross axes, two passes: pass 1 tracks only the winning axis's
+    # small descriptors (normal, edge dirs, extents, off-axis weights);
+    # pass 2 builds the contact point ONCE — the closest-point construction
+    # is ~4x the overlap test and need not run per candidate
+    zero = jnp.zeros_like(face_ov)
+    best_ov = jnp.full_like(face_ov, big)
+    best_n = (zero,) * 3
+    bd1 = (zero,) * 3
+    bd2 = (zero,) * 3
+    bha = zero
+    bhb = zero
+    bwa = [zero] * 3
+    bwb = [zero] * 3
+    one = jnp.ones_like(face_ov)
+    for i in range(3):
+        for j in range(3):
+            n_raw = _cross(a_ax[i], b_ax[j])
+            n_len = jnp.sqrt(_dot3(n_raw, n_raw) + 1e-24)
+            n_hat = tuple(c / n_len for c in n_raw)
+            rA = sum(
+                SA[m] * jnp.abs(_dot3(a_ax[m], n_hat)) for m in range(3)
+            )
+            rB = sum(
+                SB[m] * jnp.abs(_dot3(b_ax[m], n_hat)) for m in range(3)
+            )
+            t_n = _dot3(t, n_hat)
+            ov = rA + rB - jnp.abs(t_n)
+            ov = jnp.where(n_len < 1e-6, big, ov)
+            flip = jnp.where(t_n > 0, -1.0, 1.0)   # orient B -> A
+            better = ov < best_ov
+            best_n = tuple(
+                jnp.where(better, flip * c, bn)
+                for c, bn in zip(n_hat, best_n)
+            )
+            bd1 = tuple(
+                jnp.where(better, c, b_) for c, b_ in zip(a_ax[i], bd1)
+            )
+            bd2 = tuple(
+                jnp.where(better, c, b_) for c, b_ in zip(b_ax[j], bd2)
+            )
+            bha = jnp.where(better, SA[i] * one, bha)
+            bhb = jnp.where(better, SB[j] * one, bhb)
+            for m in range(3):
+                bwa[m] = jnp.where(better, 0.0 if m == i else 1.0, bwa[m])
+                bwb[m] = jnp.where(better, 0.0 if m == j else 1.0, bwb[m])
+            best_ov = jnp.minimum(ov, best_ov)
+
+    # pass 2: supporting-edge anchors + closest points, winning axis only
+    neg_n = tuple(-c for c in best_n)
+    off_a = [zero] * 3
+    off_b = [zero] * 3
+    for m in range(3):
+        sa = jnp.sign(_dot3(a_ax[m], neg_n))
+        sb = jnp.sign(_dot3(b_ax[m], best_n))
+        for c_ in range(3):
+            off_a[c_] = off_a[c_] + bwa[m] * SA[m] * sa * a_ax[m][c_]
+            off_b[c_] = off_b[c_] + bwb[m] * SB[m] * sb * b_ax[m][c_]
+    pa0 = tuple(p + o for p, o in zip(p_a, off_a))
+    pb0 = tuple(p + o for p, o in zip(p_b, off_b))
+    r12 = tuple(b - a for a, b in zip(pa0, pb0))
+    d12 = _dot3(bd1, bd2)
+    denom = jnp.maximum(1.0 - d12 * d12, 1e-9)
+    r_d1 = _dot3(r12, bd1)
+    r_d2 = _dot3(r12, bd2)
+    s1 = jnp.clip((r_d1 - d12 * r_d2) / denom, -bha, bha)
+    s2 = jnp.clip((d12 * r_d1 - r_d2) / denom, -bhb, bhb)
+    best_pt = tuple(
+        0.5 * (a + s1 * da + b + s2 * db)
+        for a, da, b, db in zip(pa0, bd1, pb0, bd2)
+    )
+
+    use_face = face_ov < best_ov
+    normal = tuple(
+        jnp.where(use_face, fn, bn) for fn, bn in zip(face_n, best_n)
+    )
+    depth = jnp.minimum(face_ov, best_ov)
+    intersect = (face_ov > -slop) & (best_ov > -slop)
+    return best_pt, normal, depth, intersect
+
+
 def make_batched_substeps(tables, cfg_sim, substep_fn):
     """Batched-substeps dispatcher: ``f(parts[B], group[B,P], gscale[B,P], n)``.
 
@@ -214,7 +345,11 @@ class MegaPhysics:
             else np.zeros(0, np.float32)
         )
         self.lane_beta = np.concatenate(
-            [np.repeat(model_np["_floor_beta"], 8), lp_beta]
+            [
+                np.repeat(model_np["_floor_beta"], 8),
+                lp_beta,
+                np.asarray(model_np["_pair_beta"], np.float32),
+            ]
         ).astype(np.float32)
         self.lp_corner = part_frame_corners(src) if NP_ else np.zeros((0, 3), np.float32)
         self.lp_part_a = gp[lp_src] if NP_ else np.zeros(0, int)
@@ -229,10 +364,30 @@ class MegaPhysics:
         )
         self.lp_dst_size = sizes[lp_dst] if NP_ else np.zeros((0, 3), np.float32)
 
-        self.K = self.Kf + self.Kp
-        part_a = np.concatenate([self.lf_part, self.lp_part_a]).astype(int)
+        # SAT edge/face lane per pair (collide.edge_contacts): fires only
+        # where the pair's corner manifold is empty (leaning/crossing parts)
+        self.Ke = NP_
+        ga = pairs[:, 0] if NP_ else np.zeros(0, int)
+        gb = pairs[:, 1] if NP_ else np.zeros(0, int)
+        self.ep_a = np.concatenate(
+            [gpos[ga], gquat[ga], sizes[ga]], axis=1
+        ).astype(np.float32) if NP_ else np.zeros((0, 10), np.float32)
+        self.ep_b = np.concatenate(
+            [gpos[gb], gquat[gb], sizes[gb]], axis=1
+        ).astype(np.float32) if NP_ else np.zeros((0, 10), np.float32)
+        # corner-lane -> pair fold (AB rows p*8.., BA rows (NP+p)*8..)
+        psum = np.zeros((NP_, self.Kp), np.float32)
+        for p in range(NP_):
+            psum[p, p * 8 : (p + 1) * 8] = 1.0
+            psum[p, (NP_ + p) * 8 : (NP_ + p + 1) * 8] = 1.0
+        self.PAIRSUM = psum
+
+        self.K = self.Kf + self.Kp + self.Ke
+        part_a = np.concatenate(
+            [self.lf_part, self.lp_part_a, gp[ga]]
+        ).astype(int)
         part_b = np.concatenate(
-            [np.full(self.Kf, -1), self.lp_part_b]
+            [np.full(self.Kf, -1), self.lp_part_b, gp[gb]]
         ).astype(int)
         has_b = part_b >= 0
         pb_safe = np.where(has_b, part_b, 0)
@@ -248,7 +403,14 @@ class MegaPhysics:
         self.OAf = onehot(self.lf_part) if self.Kf else np.zeros((0, P), np.float32)
         self.OAp = onehot(self.lp_part_a) if self.Kp else np.zeros((0, P), np.float32)
         self.OBp = onehot(self.lp_part_b) if self.Kp else np.zeros((0, P), np.float32)
-        self.lane_fric = np.concatenate([self.lf_fric, self.lp_fric]).astype(np.float32)
+        self.OAe = onehot(gp[ga]) if NP_ else np.zeros((0, P), np.float32)
+        self.OBe = onehot(gp[gb]) if NP_ else np.zeros((0, P), np.float32)
+        edge_fric = (
+            np.maximum(fric[ga], fric[gb]) if NP_ else np.zeros(0, np.float32)
+        )
+        self.lane_fric = np.concatenate(
+            [self.lf_fric, self.lp_fric, edge_fric]
+        ).astype(np.float32)
 
         # floor-projection masks: floor lane -> part
         self.floor_mask_p = np.stack(
@@ -280,6 +442,11 @@ class MegaPhysics:
         oap_ref,
         obp_ref,
         beta_ref,
+        epa_ref,
+        epb_ref,
+        oae_ref,
+        obe_ref,
+        psum_ref,
         y_ref,
         *,
         n: int,
@@ -334,6 +501,17 @@ class MegaPhysics:
         BETA = beta_ref[:]                                               # [K,1]
         fmpt = fmpt_ref[:]                                               # [Kf,P]
         FMP = [col(fmpt, p) for p in range(P)]
+        epa = epa_ref[:]                                                 # [Ke,10]
+        EA_P = tuple(col(epa, c) for c in range(3))
+        EA_Q = tuple(col(epa, 3 + c) for c in range(4))
+        EA_S = tuple(col(epa, 7 + c) for c in range(3))
+        epb = epb_ref[:]
+        EB_P = tuple(col(epb, c) for c in range(3))
+        EB_Q = tuple(col(epb, 3 + c) for c in range(4))
+        EB_S = tuple(col(epb, 7 + c) for c in range(3))
+        OAe = oae_ref[:]
+        OBe = obe_ref[:]
+        PSUM = psum_ref[:]                                               # [Ke,Kp]
 
         # per-call constants: groups/gravity are fixed within a control step
         member = (group[:, None, :] == group[None, :, :]).astype(jnp.float32)
@@ -418,14 +596,38 @@ class MegaPhysics:
             n_p = _qrot(wq_d, n_loc)
             fmask_p = inside * diff_group * (depth_p > -slop).astype(jnp.float32)
 
+            # SAT edge/face lane per pair where the corner manifold is empty
+            # (collide.edge_contacts; one lane per pair)
+            q_pae = _matcat(OAe, quat)
+            p_pae = _matcat(OAe, pos)
+            q_ea = _qmul(q_pae, EA_Q)
+            p_ea = tuple(p + c for p, c in zip(p_pae, _qrot(q_pae, EA_P)))
+            q_pbe = _matcat(OBe, quat)
+            p_pbe = _matcat(OBe, pos)
+            q_eb = _qmul(q_pbe, EB_Q)
+            p_eb = tuple(p + c for p, c in zip(p_pbe, _qrot(q_pbe, EB_P)))
+            pt_e, n_e, depth_e, inter_e = _edge_sat(
+                q_ea, p_ea, q_eb, p_eb, EA_S, EB_S, slop
+            )
+            corner_cnt = jnp.dot(
+                PSUM, fmask_p, preferred_element_type=jnp.float32
+            )
+            gl_ae = _matcat(OAe, (group,))[0]
+            gl_be = _matcat(OBe, (group,))[0]
+            fmask_e = (
+                inter_e & (corner_cnt <= 0.0) & (gl_ae != gl_be)
+            ).astype(jnp.float32)
+
             point = tuple(
-                jnp.concatenate([f, p], axis=0) for f, p in zip(cw_f, cw_p)
+                jnp.concatenate([f, p, e], axis=0)
+                for f, p, e in zip(cw_f, cw_p, pt_e)
             )
             normal = tuple(
-                jnp.concatenate([f, p], axis=0) for f, p in zip(n_f, n_p)
+                jnp.concatenate([f, p, e], axis=0)
+                for f, p, e in zip(n_f, n_p, n_e)
             )
-            depth = jnp.concatenate([depth_f, depth_p], axis=0)
-            fmask = jnp.concatenate([fmask_f, fmask_p], axis=0)
+            depth = jnp.concatenate([depth_f, depth_p, depth_e], axis=0)
+            fmask = jnp.concatenate([fmask_f, fmask_p, fmask_e], axis=0)
 
             # ---- solver prep (engine._solve_contacts) ----
             gca = _matcat(OA, g_com)
@@ -605,6 +807,11 @@ class MegaPhysics:
                 self.OAp,
                 self.OBp,
                 self.lane_beta[:, None].copy(),
+                self.ep_a,
+                self.ep_b,
+                self.OAe,
+                self.OBe,
+                self.PAIRSUM,
             )
         return tuple(jnp.asarray(a) for a in self._const_arrays)
 

@@ -116,3 +116,52 @@ def test_no_interpenetration_after_settle(setup):
     gscale = jnp.ones(model.n_parts)
     out = jax.jit(lambda s: substeps(substep, s, group, gscale, 100))(state)
     assert np.isfinite(np.asarray(out.pos)).all()
+
+
+def test_leaning_part_edge_contact(setup):
+    """A leg laid crossing another leg (edge-on-edge, no corner inside
+    either box) must find the SAT edge contact (collide.edge_contacts) and
+    come to rest ON it instead of sinking through — MuJoCo box-box manifold
+    behavior the corner sampling alone cannot produce."""
+    from furniture_tpu.physics.collide import edge_contacts
+
+    model, tables, cfg, substep = setup
+    state = _default_state(model)
+    # legs 0 and 1 (long thin boxes): 0 flat on the floor along its own
+    # axis, 1 laid across it at 90 deg, resting mid-shaft on mid-shaft
+    import furniture_tpu.transforms as T
+
+    P = model.n_parts
+    far = jnp.stack([jnp.array([2.0 + i, 2.0 + i, 0.02]) for i in range(P)])
+    pos = far.at[0].set(jnp.array([0.0, 0.0, 0.017]))
+    pos = pos.at[1].set(jnp.array([0.0, 0.0, 0.055]))
+    quat = jnp.tile(jnp.array([1.0, 0, 0, 0]), (P, 1))
+    # leg local long axis: rotate one leg 90 deg about z so they cross
+    quat = quat.at[0].set(T.euler_to_quat(jnp.array([0.0, 90.0, 0.0])))
+    quat = quat.at[1].set(
+        T.quat_mul(
+            T.euler_to_quat(jnp.array([0.0, 0.0, 90.0])),
+            T.euler_to_quat(jnp.array([0.0, 90.0, 0.0])),
+        )
+    )
+    state = state._replace(pos=pos, quat=quat)
+    group = jnp.arange(P)
+    gscale = jnp.ones(P)
+
+    run = jax.jit(lambda s: substeps(substep, s, group, gscale, 300))
+    out = run(state)
+    assert np.isfinite(np.asarray(out.pos)).all()
+    # the top leg must rest ON the bottom leg, not sink through it: its
+    # center stays clearly above the bottom leg's resting height
+    z_top = float(out.pos[1, 2])
+    z_bot = float(out.pos[0, 2])
+    assert z_top > z_bot + 0.02, f"top leg sank: z_top={z_top} z_bot={z_bot}"
+
+    # and the edge lane itself must be the active contact at rest
+    NPp = len(tables["_pairs"])
+    ec = edge_contacts(
+        tables, out.pos, out.quat, group, cfg.contact_slop,
+        corner_hit=jnp.zeros(NPp, bool),
+    )
+    m = np.asarray(ec.mask)
+    assert m.any(), "no SAT edge contact between the crossed legs"
