@@ -229,43 +229,61 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
     backward_fn = backward_parallel if cfg.parallel_riccati else backward
 
     def forward(x0, xs_ref, us_ref, ks, Ks, alpha):
-        """Closed-loop rollout with the new gains at step size alpha."""
+        """Closed-loop rollout with the new gains at step size alpha.
 
-        def body(x, inp):
+        Returns (us, cost): the rollout already visits every state, so the
+        candidate's cost accumulates in the same scan — re-rolling the
+        dynamics in a separate total_cost would double the line search's
+        dominant expense."""
+
+        def body(carry, inp):
+            x, acc, t = carry
             x_ref, u_ref, k, Kt = inp
             u = u_ref + alpha * k + Kt @ (x - x_ref)
             u = jnp.clip(u, cfg.u_min, cfg.u_max)
-            return f(x, u), u
+            acc = acc + running_cost(x, u, t)
+            return (f(x, u), acc, t + 1), (u, x)
 
-        _, us = jax.lax.scan(body, x0, (xs_ref[:-1], us_ref, ks, Ks))
-        return us
+        (x_last, acc, _), (us, xs) = jax.lax.scan(
+            body,
+            (x0, jnp.float32(0.0), jnp.int32(0)),
+            (xs_ref[:-1], us_ref, ks, Ks),
+        )
+        xs_full = jnp.concatenate([xs, x_last[None]], axis=0)    # [H+1,n]
+        return us, acc + terminal_cost(x_last), xs_full
 
     def plan(x0, u_init):
         def iteration(carry, _):
-            us, reg, cost = carry
-            xs = rollout(x0, us)
+            us, xs, reg, cost = carry
             exp = linearize(xs, us)
             ks, Ks, _ = backward_fn(*exp, reg)
 
-            cand_us = jax.vmap(
+            # each candidate's rollout already produces its state sequence;
+            # the accepted candidate's xs carries to the next iteration's
+            # linearization (no separate re-rollout per iteration)
+            cand_us, cand_costs, cand_xs = jax.vmap(
                 lambda a: forward(x0, xs, us, ks, Ks, a)
             )(jnp.asarray(cfg.alphas))
-            cand_costs = jax.vmap(lambda u: total_cost(x0, u))(cand_us)
             best = jnp.argmin(cand_costs)
             improved = cand_costs[best] < cost
-            us_new = jnp.where(improved, cand_us[best], us)
+            oh = jax.nn.one_hot(best, len(cfg.alphas), dtype=us.dtype)
+            best_us = jnp.einsum("a,ahm->hm", oh, cand_us)
+            best_xs = jnp.einsum("a,ahn->hn", oh, cand_xs)
+            us_new = jnp.where(improved, best_us, us)
+            xs_new = jnp.where(improved, best_xs, xs)
             cost_new = jnp.minimum(cand_costs[best], cost)
             reg_new = jnp.clip(
                 jnp.where(improved, reg * 0.5, reg * 10.0),
                 cfg.reg_init,
                 cfg.reg_max,
             )
-            return (us_new, reg_new, cost_new), cost_new
+            return (us_new, xs_new, reg_new, cost_new), cost_new
 
         cost0 = total_cost(x0, u_init)
-        (us, _, cost), hist = jax.lax.scan(
+        xs0 = rollout(x0, u_init)
+        (us, _, _, cost), hist = jax.lax.scan(
             iteration,
-            (u_init, jnp.float32(cfg.reg_init), cost0),
+            (u_init, xs0, jnp.float32(cfg.reg_init), cost0),
             None,
             length=cfg.iterations,
         )

@@ -68,10 +68,15 @@ def test_replay_reference_cursor_demo():
     assert np.isfinite(np.asarray(s.parts.pos)).all()
     # the demo's first chair connect must reproduce in our engine
     assert int(s.num_connected) >= 1, "replay did not reproduce the connect"
-    # kinematic cursor trajectory tracks the recording closely
-    assert np.mean(cursor_errs) < 0.15, f"cursor err {np.mean(cursor_errs)}"
-    # free-part trajectories stay within tolerance despite solver differences
-    assert np.mean(part_errs) < 0.25, f"part err {np.mean(part_errs)}"
+    # the kinematic cursor trajectory is EXACT (same teleport semantics as
+    # the recording; measured ~2e-8 m — float roundoff)
+    assert np.mean(cursor_errs) < 1e-5, f"cursor err {np.mean(cursor_errs)}"
+    # free-part trajectories: mean 0.06 m over the 171-step replay against
+    # the recorded MuJoCo solver (measured after the round-4 SAT edge lanes;
+    # the earlier 0.25 tolerance predated them). Bounded by solver-model
+    # differences (Jacobi vs MuJoCo PGS, sampled vs exact manifolds).
+    assert np.mean(part_errs) < 0.10, f"part err {np.mean(part_errs)}"
+    assert np.max(part_errs) < 0.20, f"part err max {np.max(part_errs)}"
 
 
 # -- arm demos ---------------------------------------------------------------
