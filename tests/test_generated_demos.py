@@ -16,14 +16,15 @@ import pytest
 
 from furniture_tpu import rl
 
-DEMO_GLOB = os.path.join(
-    os.path.dirname(__file__), "..", "demos", "generated", "*.pkl"
-)
+DEMO_GLOBS = [
+    os.path.join(os.path.dirname(__file__), "..", "demos", d, "*.pkl")
+    for d in ("generated", "generated2")
+]
 
 
 @pytest.fixture(scope="module")
 def demos():
-    files = sorted(glob.glob(DEMO_GLOB))
+    files = sorted(f for g in DEMO_GLOBS for f in glob.glob(g))
     if not files:
         pytest.skip("no generated demos committed")
     return [pickle.load(open(f, "rb")) for f in files]
