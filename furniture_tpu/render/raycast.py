@@ -266,7 +266,7 @@ def render(
         t = jnp.sum(tg * oh, -1)
         n_geom = jnp.sum(ng * oh[..., None], -2)              # [N,3]
         rot_sel = jnp.einsum("nc,cde->nde", oh, rot)          # [N,3,3]
-        n_world = jnp.einsum("nd,nde->ne", n_geom, rot_sel)
+        n_world = jnp.einsum("nd,ned->ne", n_geom, rot_sel)  # n @ rot.T
         seg = jnp.sum(seg_ids[None, :] * oh, -1).astype(jnp.int32)
         alb = oh @ rgba
         closer = t < t_best

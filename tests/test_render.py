@@ -80,6 +80,38 @@ def test_vmap_batch(cursor_env):
     assert all((np.asarray(seg[i]) >= 0).any() for i in range(3))
 
 
+def test_chunked_matches_scan_for_rotated_geoms():
+    """The chunked (static_types) path must shade rotated geoms identically
+    to the generic scan path — regression for the n@rot vs n@rot.T normal
+    rotation bug (hit normals were rotated geom->world with the transpose)."""
+    from furniture_tpu.models.compiler import BOX, CYLINDER, SPHERE
+    from furniture_tpu.render.raycast import GeomScene, render
+
+    rng = np.random.RandomState(3)
+    n = 6
+    quat = rng.randn(n, 4)
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    scene = GeomScene(
+        pos=jnp.asarray(rng.uniform(-0.3, 0.3, (n, 3)) + np.array([0, 0, 0.3])),
+        quat=jnp.asarray(quat, jnp.float32),
+        type=jnp.asarray([BOX, BOX, SPHERE, CYLINDER, BOX, CYLINDER], jnp.int32),
+        size=jnp.asarray(rng.uniform(0.05, 0.15, (n, 3)), jnp.float32),
+        seg=jnp.arange(n, dtype=jnp.int32),
+        rgba=jnp.asarray(rng.uniform(0.2, 0.9, (n, 3)), jnp.float32),
+    )
+    cam = frontview(56, 56)
+    rgb_scan, d_scan, seg_scan = jax.jit(lambda s: render(s, cam))(scene)
+    rgb_chunk, d_chunk, seg_chunk = jax.jit(
+        lambda s: render(
+            s, cam, static_types=tuple(np.asarray(scene.type).tolist())
+        )
+    )(scene)
+    assert np.array_equal(np.asarray(seg_scan), np.asarray(seg_chunk))
+    np.testing.assert_allclose(
+        np.asarray(rgb_scan), np.asarray(rgb_chunk), atol=1e-5
+    )
+
+
 def test_to_uint8(cursor_frame):
     rgb, _, _ = cursor_frame
     img = np.asarray(to_uint8(jnp.asarray(rgb)))
