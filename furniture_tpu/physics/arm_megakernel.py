@@ -136,7 +136,7 @@ class ArmMegaPhysics:
 
         gp = np.asarray(tables["geom_part"])
         G = len(gp)
-        P = int(np.max(gp)) + 1 if G else 0
+        P = len(tables["part_mass"])  # n_parts (a part may carry no geoms)
         self.P = P
         self.NJ = robot.nj
         self.NA = robot.na
@@ -282,6 +282,10 @@ class ArmMegaPhysics:
         self.TOUCHMAP = tm
         self.NT = tm.shape[0]
 
+        # eef body index per arm (finger-separation axis for the
+        # bounded-force squeeze floor; see envs/arm._sim_substeps)
+        self._eef_body = [int(robot.eef_body[arm]) for arm in robot.arms]
+
         # ---- combined lane tables for the solver ----
         self.K = self.Kf + self.Kp + self.Ke + self.Kr
         part_a = np.concatenate(
@@ -377,21 +381,6 @@ class ArmMegaPhysics:
                 fhi=float(robot.act_forcerange[i, 1]),
             )
             for i in range(robot.na)
-        ]
-        # per-arm eef-body joint ancestry (hinges only) for the hand angular
-        # velocity used by the torsional grip assist
-        self._eef_anc = [
-            (
-                robot.ancestor[robot.eef_body[arm]]
-                & (robot.jnt_type == 0)  # HINGE
-            ).astype(np.float64)
-            for arm in robot.arms
-        ]
-        # full ancestry (all joint types) for the hand point-velocity used
-        # by the rigid-carry linear blend
-        self._eef_anc_all = [
-            robot.ancestor[robot.eef_body[arm]].astype(np.float64)
-            for arm in robot.arms
         ]
         # gripper actuators per arm (for the contact-aware squeeze servo)
         self._grip_meta = [
@@ -609,7 +598,9 @@ class ArmMegaPhysics:
             return tuple(jnp.sum(member * v[None, :, :], axis=1) for v in vals)
 
         def substep(_, st):
-            pos, quat, lin, ang, qp, qv, touch = st
+            # lam carried across substeps (warm start; see engine.substeps
+            # and the cursor megakernel — keeps solver_iters at 12)
+            pos, quat, lin, ang, qp, qv, touch, lam_ws = st
 
             # ================= robot kinematics =================
             bpos, bquat = self._fk(qp)
@@ -670,8 +661,8 @@ class ArmMegaPhysics:
                     pa = MASS[None, :, :] * ((d2 if i == j else 0.0) - d[i] * d[j])
                     gI[i][j] = jnp.sum(member * (Iw[i][j][None, :, :] + pa), axis=1)
             invI = _inv3_rows(gI, 1e-8)
-            # (gravity applied after the robot narrow phase — pinched groups
-            # are gravity-compensated, SimConfig.grip_gravity_comp)
+            # (gravity applied after the robot narrow phase, alongside the
+            # bounded-force squeeze floor computation)
 
             # ================= narrow phase =================
             # floor lanes
@@ -823,7 +814,11 @@ class ArmMegaPhysics:
 
             # ================= gripper squeeze servo =================
             ctrl_eff = ctrl
-            deeps = []
+            deeps = []        # clamp gate (pen > squeeze)
+            deeps_floor = []  # squeeze-floor gate at half threshold — the
+            #                   clamp equilibrates penetration AT `squeeze`,
+            #                   so the same gate would flicker per substep
+            #                   (see envs/arm._sim_substeps)
             for a in range(self.n_arms):
                 m_a = SQZ[a : a + 1].T                            # [Kr,1]
                 pen_a = jnp.max(
@@ -832,6 +827,17 @@ class ArmMegaPhysics:
                     keepdims=True,
                 )                                                 # [1,Bb]
                 deeps.append(pen_a > squeeze)
+                # floor gate: servo actively commanding closure (raw ctrl
+                # beyond the finger position in the closing direction) — an
+                # OPEN gripper straddling a part must not squeeze
+                gm_a = self._grip_meta[a]
+                closing = None
+                for row, gj, cs in zip(
+                    gm_a["rows"], gm_a["joints"], gm_a["signs"]
+                ):
+                    c_r = cs * (ctrl[row : row + 1] - qp[gj : gj + 1]) > 0
+                    closing = c_r if closing is None else (closing | c_r)
+                deeps_floor.append(closing & (pen_a > 0.5 * squeeze))
             for gm in self._grip_meta:
                 deep = deeps[gm["arm_idx"]]
                 for row, gj, cs in zip(gm["rows"], gm["joints"], gm["signs"]):
@@ -848,20 +854,22 @@ class ArmMegaPhysics:
                         pieces.append(ctrl_eff[row + 1 :])
                     ctrl_eff = jnp.concatenate(pieces, axis=0)
 
-            # ============ gravity (firm-grasp compensated) ============
-            # both fingers touching AND squeeze engaged (see envs/arm
-            # _sim_substeps — light double-touches must not go weightless)
-            gscale_eff = gscale
-            if getattr(cfg, "grip_gravity_comp", True):
-                pin_any = jnp.zeros((P, Bb), jnp.float32)
+            # ============ finger-servo press ============
+            # (SimConfig.grip_press_vel; mirrors envs/arm._sim_substeps):
+            # inward prescribed surface velocity on engaged finger lanes —
+            # the blocked servo's pad keeps advancing; squeeze forces
+            # emerge from the solve, saturating at the warm-start cap
+            rvalid = rmask * (depth_r > -slop).astype(jnp.float32)
+            if cfg.grip_press_vel > 0:
+                press = jnp.zeros_like(depth_r)
                 for a_i in range(self.n_arms):
-                    tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
-                    tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
-                    deep_f = deeps[a_i].astype(jnp.float32)      # [1,Bb]
-                    pin_any = jnp.maximum(pin_any, tl * tr * deep_f)
-                pin_g = jnp.max(member * pin_any[None, :, :], axis=1)
-                gscale_eff = gscale * (1.0 - pin_g)
-            lin = (lin[0], lin[1], lin[2] + dt * gz * gscale_eff)
+                    gate = deeps_floor[a_i].astype(jnp.float32)  # [1,Bb]
+                    press = press + SQZ[a_i : a_i + 1].T * gate
+                press = press * rvalid * cfg.grip_press_vel
+                velb_r = tuple(
+                    v + press * nc for v, nc in zip(velb_r, normal_r)
+                )
+            lin = (lin[0], lin[1], lin[2] + dt * gz * gscale)
 
             # ================= actuator torques =================
             frows = []
@@ -895,7 +903,7 @@ class ArmMegaPhysics:
                 [depth_f, depth_p, depth_e, depth_r], axis=0
             )
             fmask = jnp.concatenate(
-                [fmask_f, fmask_p, fmask_e, rmask * (depth_r > -slop)], axis=0
+                [fmask_f, fmask_p, fmask_e, rvalid], axis=0
             )
             zero_fp = jnp.zeros((Kf + Kp + Ke, Bb), jnp.float32)
             velb = tuple(jnp.concatenate([zero_fp, c], axis=0) for c in velb_r)
@@ -993,8 +1001,17 @@ class ArmMegaPhysics:
                 mf = FRIC * ln
                 return (ln, jnp.clip(l1, -mf, mf), jnp.clip(l2, -mf, mf))
 
-            zl = jnp.zeros((K, Bb), jnp.float32)
-            lam = jax.lax.fori_loop(0, iters, it_body, (zl, zl, zl))
+            # warm-start cap at resting-contact scale (engine.WARM_CAP_ACC):
+            # discard stale impact spikes, keep steady-state impulses
+            capw = 200.0 * inv_w[0] * dt
+            l0w = jnp.minimum(lam_ws[0], capw)
+            mfw = FRIC * l0w
+            lam_init = (
+                l0w,
+                jnp.clip(lam_ws[1], -mfw, mfw),
+                jnp.clip(lam_ws[2], -mfw, mfw),
+            )
+            lam = jax.lax.fori_loop(0, iters, it_body, lam_init)
             lv, av, imp = apply(lam)
             lv = tuple(jnp.clip(c, -maxv, maxv) for c in lv)
             av = tuple(jnp.clip(c, -maxv, maxv) for c in av)
@@ -1075,104 +1092,17 @@ class ArmMegaPhysics:
             per_group = jnp.max(member * per_part[None, :, :], axis=1)
             new_pos = (new_pos[0], new_pos[1], new_pos[2] + per_group)
 
-            # torsional grip assist (SimConfig.grip_torsion; see envs/arm
-            # _sim_substeps): blend a pinched group's angular velocity toward
-            # the hand's — applied to the carried velocity, like the XLA path
-            gt = getattr(cfg, "grip_torsion", 0.0)
-            gl = getattr(cfg, "grip_linear", 0.0)
-            if gt > 0 or gl > 0:
-                # suppress the blends for groups with active NON-finger
-                # contacts (floor / other parts): same rule as the XLA path
-                # (envs/arm grip blend) — the post-solve velocity override
-                # must not fight the contact solver or it pumps energy into
-                # whatever the held part presses against
-                ext_rows = []
-                for p in range(P):
-                    fl = jnp.max(
-                        jnp.where(FMP[p] > 0, fmask_f, 0.0),
-                        axis=0,
-                        keepdims=True,
-                    )
-                    if self.Kp:
-                        pa = jnp.max(
-                            OAp[:, p : p + 1] * fmask_p, axis=0, keepdims=True
-                        )
-                        pb = jnp.max(
-                            OBp[:, p : p + 1] * fmask_p, axis=0, keepdims=True
-                        )
-                        fl = jnp.maximum(fl, jnp.maximum(pa, pb))
-                    ext_rows.append(fl)
-                ext = jnp.concatenate(ext_rows, axis=0)          # [P,Bb]
-                ext_g = jnp.max(member * ext[None, :, :], axis=1)
-                blend_on = ext_g <= 0
-
-                for a_i in range(self.n_arms):
-                    tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
-                    tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
-                    # pinched = both fingers touch AND the squeeze servo is
-                    # engaged — a mere double-touch (open gripper brushing a
-                    # lying part during traverse) must NOT trigger the
-                    # velocity override or the part is slammed to hand speed
-                    pin = tl * tr * deeps[a_i].astype(jnp.float32)    # [P,Bb]
-                    pin_g = jnp.max(member * pin[None, :, :], axis=1)
-                    if gt > 0:
-                        anc_h = self._eef_anc[a_i]
-                        whx = jnp.zeros_like(qv[0:1])
-                        why = jnp.zeros_like(qv[0:1])
-                        whz = jnp.zeros_like(qv[0:1])
-                        for j in range(NJ):
-                            if anc_h[j] == 0.0:
-                                continue
-                            qvj = qv[j : j + 1]
-                            whx = whx + qvj * axis_w[j][0]
-                            why = why + qvj * axis_w[j][1]
-                            whz = whz + qvj * axis_w[j][2]
-                        # torsion stays active in contact (see envs/arm)
-                        av = tuple(
-                            jnp.where(pin_g > 0, c + gt * (wh - c), c)
-                            for c, wh in zip(av, (whx, why, whz))
-                        )
-                    if gl > 0:
-                        # rigid-carry target: hand point velocity at the
-                        # held group's COM, v(g_com) = Σ_j q̇_j φ_j(g_com)
-                        # over the eef body's joint ancestry — exact from
-                        # the joint state (same math as envs/arm
-                        # grip_linear via point_jacobian)
-                        anc_all = self._eef_anc_all[a_i]
-                        vhx = jnp.zeros_like(g_com[0])
-                        vhy = jnp.zeros_like(g_com[0])
-                        vhz = jnp.zeros_like(g_com[0])
-                        for j in range(NJ):
-                            if anc_all[j] == 0.0:
-                                continue
-                            qvj = qv[j : j + 1]
-                            if self._jnt_meta[j]["jtype"] == _HINGE:
-                                dvec = tuple(
-                                    gc_ - o
-                                    for gc_, o in zip(g_com, anchor_w[j])
-                                )
-                                phi = _cross(axis_w[j], dvec)
-                            else:
-                                phi = tuple(
-                                    jnp.broadcast_to(c, g_com[0].shape)
-                                    for c in axis_w[j]
-                                )
-                            vhx = vhx + qvj * phi[0]
-                            vhy = vhy + qvj * phi[1]
-                            vhz = vhz + qvj * phi[2]
-                        blend = (pin_g > 0) & blend_on
-                        lv = tuple(
-                            jnp.where(blend, c + gl * (vh - c), c)
-                            for c, vh in zip(lv, (vhx, vhy, vhz))
-                        )
-
-            return (new_pos, new_quat, lv, av, qp_cl, qv_new, touch_new)
+            return (new_pos, new_quat, lv, av, qp_cl, qv_new, touch_new, lam)
 
         touch0 = jnp.zeros((NT, s.shape[-1]), jnp.float32)
+        zl0 = jnp.zeros((K, s.shape[-1]), jnp.float32)
         out = jax.lax.fori_loop(
-            0, n, substep, (pos0, quat0, lin0, ang0, qp0, qv0, touch0)
+            0,
+            n,
+            substep,
+            (pos0, quat0, lin0, ang0, qp0, qv0, touch0, (zl0, zl0, zl0)),
         )
-        pos, quat, lin, ang, qp, qv, touch = out
+        pos, quat, lin, ang, qp, qv, touch, _ = out
         ys_ref[:] = jnp.concatenate(pos + quat + lin + ang + (qp, qv), axis=0)
         yt_ref[:] = touch
 

@@ -3,12 +3,14 @@
 Static-shape contact generation (the ``nconmax`` analogue of the reference's
 ``base.xml:5``): every potential contact has a fixed lane and a validity mask.
 
-Narrow phase, round-1 scheme:
+Narrow phase:
 * geom vs floor plane: the geom's 8 box corners (spheres/cylinders use their
   bounding box — exact for the resting face cases that dominate here)
 * geom vs geom: vertex-in-box tests both ways (8+8 candidate points/pair);
-  face-vertex contacts are the dominant regime for flat-pack furniture parts.
-  Edge-edge manifolds are a known refinement (tracked for a later round).
+  face-vertex contacts are the dominant regime for flat-pack furniture parts
+* geom vs geom edge-edge: one SAT lane per pair (``edge_contacts``) covering
+  the crossing-edge regime the vertex tests miss (e.g. a leaning part whose
+  edge rests on another box's edge).
 
 All functions are per-env and ``vmap``-batched by the caller.
 """
@@ -392,6 +394,14 @@ def edge_contacts(
     half2 = jnp.sum(Sb * oh_j, -1)
     s1 = jnp.clip(s1, -half1, half1)
     s2 = jnp.clip(s2, -half2, half2)
+    # NOTE: in the use_face branch the normal/depth come from the best face
+    # axis while the point stays the edge closest-point midpoint.  That point
+    # can sit slightly off the contacting face in shallow face-dominated
+    # crossings, applying a small spurious torque — an accepted approximation:
+    # the lane only fires when the 16 vertex lanes found nothing (see the
+    # corner_hit gate below), a regime where the crossing is near-degenerate
+    # and the midpoint lies within O(slop) of the face.  Keeping one fused
+    # point keeps this a single lane in both Pallas kernels.
     point = 0.5 * (pa0 + s1[:, None] * d1 + pb0 + s2[:, None] * d2)
 
     intersect = (
@@ -557,8 +567,11 @@ def precompute_collision_tables(model) -> dict:
         (i, j) for i in range(G) for j in range(i + 1, G) if gp[i] != gp[j]
     ]
     out["_pairs"] = np.asarray(pairs, dtype=np.int32).reshape(len(pairs), 2)
-    # corner-lane -> part one-hot for scatter-free floor projection
-    P = int(gp.max()) + 1 if G else 0
+    # corner-lane -> part one-hot for scatter-free floor projection.
+    # Size by n_parts, NOT max(geom_part)+1: a part may carry no collision
+    # geoms at all (e.g. chair_agne_0010's part3), and every [P]-shaped
+    # array must still cover it.
+    P = int(model.n_parts)
     lane_part = np.repeat(gp, 8)
     out["_floor_assign"] = (
         lane_part[None, :] == np.arange(P)[:, None]

@@ -91,6 +91,12 @@ def _group_aggregates(model_np, state: PartState, group):
     return member, g_com, g_inv_mass, g_inv_inertia
 
 
+# warm-start normal-impulse cap, in acceleration units (m/s²): ~20 g, so a
+# persistent contact can warm-start with well above its share of the weight
+# impulse, while one-substep impact spikes are discarded (see _solve_contacts)
+WARM_CAP_ACC = 200.0
+
+
 def _tangent_basis(n):
     """Orthonormal (t1, t2) perpendicular to n (branch-free)."""
     ref = jnp.where(
@@ -117,16 +123,37 @@ def _solve_contacts(
     baumgarte: float,
     slop: float,
     return_impulses: bool = False,
+    min_normal=None,
+    lam0=None,
+    return_lam: bool = False,
 ):
     """Impulse-accumulating Jacobi solve; returns updated group velocities.
 
     Jacobi (not Gauss-Seidel) so every contact lane updates in parallel on
     the VPU; under-relaxation keeps it convergent.
+
+    ``min_normal`` [K] (optional): per-lane normal-impulse floor — the
+    bounded-force finger squeeze (``SimConfig.grip_force``). An engaged
+    finger servo blocked against a part presses with its force limit; the
+    floor keeps that much normal impulse in the lane so the friction cone
+    has the corresponding budget (force closure).
+
+    ``lam0`` [K,3] (optional): warm-start impulses, normally the previous
+    substep's converged ``lam`` (contact lanes are static, so the manifold
+    changes little across a 2 ms substep). Warm-starting halves the
+    iteration count needed for a given solution quality — the standard
+    impulse-solver optimization; ``return_lam`` returns the converged
+    ``lam`` for the next substep's warm start.
     """
     K = c.depth.shape[0]
     P = group.shape[0]
     valid = c.mask & (c.depth > -slop)
     fmask = valid.astype(jnp.float32)
+    lam_floor = (
+        jnp.zeros((K,), jnp.float32)
+        if min_normal is None
+        else min_normal * fmask
+    )
 
     has_b = c.part_b >= 0
     pb_safe = jnp.where(has_b, c.part_b, 0)
@@ -213,18 +240,35 @@ def _solve_contacts(
         target = jnp.stack([vd[:, 0] + bias, vd[:, 1], vd[:, 2]], -1)
         dlam = -target * inv_w * lane_scale[:, None]
         lam_new = lam + dlam
-        # clamp: normal >= 0; friction cone |t| <= mu * n
-        ln = jnp.maximum(lam_new[:, 0], 0.0)
+        # clamp: normal >= squeeze floor (0 on non-finger lanes); friction
+        # cone |t| <= mu * n
+        ln = jnp.maximum(lam_new[:, 0], lam_floor)
         max_f = c.friction * ln
         lt = jnp.clip(lam_new[:, 1:], -max_f[:, None], max_f[:, None])
         return jnp.concatenate([ln[:, None], lt], axis=-1)
 
-    lam = jax.lax.fori_loop(0, iters, body, jnp.zeros((K, 3), jnp.float32))
+    if lam0 is None:
+        init = jnp.zeros((K, 3), jnp.float32)
+    else:
+        # cap the warm start at a resting-contact scale (~20x the weight
+        # impulse, WARM_CAP_ACC·m_eff·dt): a stale IMPACT impulse re-applied
+        # as the initial guess launches the part, and the under-relaxed
+        # Jacobi sweep cannot unwind a large overshoot within `iters`
+        cap = WARM_CAP_ACC * inv_w[:, 0] * dt
+        ln0 = jnp.minimum(lam0[:, 0], cap)
+        mf0 = c.friction[:, None] * ln0[:, None]
+        init = jnp.concatenate(
+            [ln0[:, None], jnp.clip(lam0[:, 1:], -mf0, mf0)], axis=-1
+        )
+    lam = jax.lax.fori_loop(0, iters, body, init)
     lv, av = apply(lam)
+    out = (lv, av)
     if return_impulses:
         imp = jnp.sum(lam[:, :, None] * dirs, axis=1) * fmask[:, None]  # [K,3]
-        return lv, av, imp
-    return lv, av
+        out = out + (imp,)
+    if return_lam:
+        out = out + (lam,)
+    return out
 
 
 def _integrate(state: PartState, member, g_com, dt):
@@ -284,6 +328,9 @@ def make_substep(model_np, cfg_sim):
         gravity_scale,
         extra_contacts=None,
         return_extra_impulses=False,
+        extra_min_normal=None,
+        lam_warm=None,
+        return_lam=False,
     ):
         member, g_com, g_inv_mass, g_inv_inertia = _group_aggregates(
             model_np, state, group
@@ -313,7 +360,21 @@ def make_substep(model_np, cfg_sim):
         if extra_contacts is not None:
             contacts = concat_contacts(contacts, extra_contacts)
 
-        solve = _solve_contacts if return_extra_impulses else solver
+        kwargs = {}
+        if return_extra_impulses:
+            kwargs["return_impulses"] = True
+        if extra_min_normal is not None:
+            # pad zeros for the base (floor/pair/edge) lanes
+            kwargs["min_normal"] = jnp.concatenate(
+                [jnp.zeros((n_base,), jnp.float32), extra_min_normal]
+            )
+        if lam_warm is not None:
+            kwargs["lam0"] = lam_warm
+        if return_lam:
+            kwargs["return_lam"] = True
+        # the legacy lane solver takes none of the extended features; fall
+        # back to the XLA solve when any is requested
+        solve = _solve_contacts if kwargs else solver
         out = solve(
             contacts,
             group,
@@ -327,7 +388,7 @@ def make_substep(model_np, cfg_sim):
             cfg_sim.relaxation,
             cfg_sim.baumgarte,
             cfg_sim.contact_slop,
-            **({"return_impulses": True} if return_extra_impulses else {}),
+            **kwargs,
         )
         lv, av = out[0], out[1]
         # safety velocity clamp (the reference catches MuJoCo instability
@@ -338,20 +399,48 @@ def make_substep(model_np, cfg_sim):
         state = state._replace(lin_vel=lv, ang_vel=av)
         state = _integrate(state, member, g_com, dt)
         state = _floor_projection(model_np, state, member, cfg_sim.contact_slop)
+        ret = (state,)
         if return_extra_impulses:
-            return state, out[2][n_base:]
-        return state
+            ret = ret + (out[2][n_base:],)
+        if return_lam:
+            ret = ret + (out[-1],)
+        return ret if len(ret) > 1 else state
 
+    # static lane counts so callers can allocate warm-start buffers:
+    # 8 floor lanes per geom + 16 vertex + 1 SAT edge lane per pair
+    substep.n_base_lanes = 8 * len(model_np["geom_part"]) + 17 * len(
+        model_np["_pairs"]
+    )
+    # the legacy lane backend takes no lam0; substeps() skips warm-starting
+    substep.supports_warm = cfg_sim.use_pallas != "lane"
     return substep
 
 
 def substeps(substep_fn, state: PartState, group, gravity_scale, n: int):
-    """Run ``n`` physics substeps under ``lax.scan`` (static count)."""
+    """Run ``n`` physics substeps under ``lax.scan`` (static count).
 
-    def body(s, _):
-        return substep_fn(s, group, gravity_scale), None
+    When ``substep_fn`` is a :func:`make_substep` product (exposes
+    ``n_base_lanes``), the converged contact impulses are carried across
+    substeps as the next substep's warm start — the standard impulse-solver
+    optimization (lanes are static; the manifold changes little per 2 ms
+    substep), which lets ``SimConfig.solver_iters`` stay low."""
+    nl = getattr(substep_fn, "n_base_lanes", None)
+    if nl is None or not getattr(substep_fn, "supports_warm", False):
+        def body(s, _):
+            return substep_fn(s, group, gravity_scale), None
 
-    out, _ = jax.lax.scan(body, state, None, length=n)
+        out, _ = jax.lax.scan(body, state, None, length=n)
+        return out
+
+    def body(carry, _):
+        s, lam = carry
+        s, lam = substep_fn(
+            s, group, gravity_scale, lam_warm=lam, return_lam=True
+        )
+        return (s, lam), None
+
+    lam0 = jnp.zeros((nl, 3), jnp.float32)
+    (out, _), _ = jax.lax.scan(body, (state, lam0), None, length=n)
     return out
 
 
@@ -410,7 +499,8 @@ def robot_contact_tables(tables: dict, robot, lane_budget: int = 1700) -> dict:
     pairs = np.array(
         [(r, p) for r in hand for p in part_geoms], dtype=np.int32
     ).reshape(-1, 2)
-    k_base = 8 * len(tables["geom_part"]) + 16 * len(tables["_pairs"])
+    # floor lanes + 16 vertex lanes + 1 SAT edge lane per part pair
+    k_base = 8 * len(tables["geom_part"]) + 17 * len(tables["_pairs"])
     signs = _SAMPLE_SIGNS15
     if k_base + 2 * 15 * len(pairs) > lane_budget:
         signs = _CORNER_SIGNS

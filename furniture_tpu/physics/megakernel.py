@@ -297,7 +297,7 @@ class MegaPhysics:
 
         gp = np.asarray(model_np["geom_part"])
         G = len(gp)
-        P = int(np.max(gp)) + 1 if G else 0
+        P = len(model_np["part_mass"])  # n_parts (a part may carry no geoms)
         self.P = P
         sizes = np.asarray(model_np["_box_sizes"], np.float32)  # [G,3]
         gpos = np.asarray(model_np["geom_pos"], np.float32)
@@ -524,7 +524,12 @@ class MegaPhysics:
             return tuple(jnp.sum(member * v[None, :, :], axis=1) for v in vals)
 
         def substep(_, st):
-            pos, quat, lin, ang = st
+            # lam carried across substeps: warm-starting the Jacobi sweep
+            # with the previous substep's converged impulses (lanes are
+            # static, the manifold changes little per 2 ms substep) is what
+            # lets SimConfig.solver_iters stay at 12 — mirrors
+            # engine.substeps on the XLA path
+            pos, quat, lin, ang, lam_ws = st
 
             # ---- group aggregates (engine._group_aggregates) ----
             com_w = tuple(p + c for p, c in zip(pos, _qrot(quat, COM_L)))
@@ -725,8 +730,17 @@ class MegaPhysics:
                 mf = FRIC * ln
                 return (ln, jnp.clip(l1, -mf, mf), jnp.clip(l2, -mf, mf))
 
-            z = jnp.zeros((K, Bb), jnp.float32)
-            lam = jax.lax.fori_loop(0, iters, it_body, (z, z, z))
+            # warm-start cap at resting-contact scale (engine.WARM_CAP_ACC):
+            # discard stale impact spikes, keep steady-state impulses
+            capw = 200.0 * inv_w[0] * dt
+            l0w = jnp.minimum(lam_ws[0], capw)
+            mfw = FRIC * l0w
+            lam_init = (
+                l0w,
+                jnp.clip(lam_ws[1], -mfw, mfw),
+                jnp.clip(lam_ws[2], -mfw, mfw),
+            )
+            lam = jax.lax.fori_loop(0, iters, it_body, lam_init)
             lv, av = apply(lam)
             lv = tuple(jnp.clip(c, -maxv, maxv) for c in lv)
             av = tuple(jnp.clip(c, -maxv, maxv) for c in av)
@@ -769,10 +783,13 @@ class MegaPhysics:
             per_group = jnp.max(member * per_part[None, :, :], axis=1)
             new_pos = (new_pos[0], new_pos[1], new_pos[2] + per_group)
 
-            return (new_pos, new_quat, lv, av)
+            return (new_pos, new_quat, lv, av, lam)
 
-        out = jax.lax.fori_loop(0, n, substep, (pos0, quat0, lin0, ang0))
-        pos, quat, lin, ang = out
+        zl = jnp.zeros((K, pos0[0].shape[-1]), jnp.float32)
+        out = jax.lax.fori_loop(
+            0, n, substep, (pos0, quat0, lin0, ang0, (zl, zl, zl))
+        )
+        pos, quat, lin, ang, _ = out
         y_ref[:] = jnp.concatenate(pos + quat + lin + ang, axis=0)
 
     # -- host wrapper ----------------------------------------------------------
