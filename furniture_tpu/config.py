@@ -26,8 +26,12 @@ class SimConfig:
     control_freq: int = 10           # config/furniture.py:72
     gravity: float = -9.81
     # contact solver
-    solver_iters: int = 24           # Jacobi impulse iterations per substep
-                                     # (mass-split sweeps need ~2x plain Jacobi)
+    solver_iters: int = 12           # Jacobi impulse iterations per substep.
+                                     # The converged impulses warm-start the
+                                     # next substep's sweep (engine.substeps
+                                     # + both Pallas kernels), which halves
+                                     # the iterations a cold mass-split
+                                     # Jacobi solve needed (was 24).
     relaxation: float = 0.55         # Jacobi under-relaxation factor
     baumgarte: float = 0.2           # position-correction fraction per substep
     contact_slop: float = 0.001      # penetration tolerance (m)
@@ -68,27 +72,21 @@ class SimConfig:
     # (MuJoCo native behavior; the reference steps these contacts two-way in
     # mj_step, env/furniture.py:2877-2879)
     robot_coupling: bool = True
-    # torsional grip assist: per-substep blend of a pinched part group's
-    # angular velocity toward the hand's (0 disables). Point-contact friction
-    # alone carries almost no torque about the pad normal (couple arm ≈ 1 cm
-    # of pad), so a grasped part pendulums freely where MuJoCo's force-closed
-    # grasp (reference grippers squeeze with kp≈1e4-1e6 servos) would track
-    # the wrist rigidly; this blend restores that force closure.
-    grip_torsion: float = 0.3
-    # linear grip assist: per-substep blend of a pinched group's linear
-    # velocity toward the mean finger-surface velocity at the active grasp
-    # contacts (0 disables). Finger friction impulses alone are bounded by
-    # the kinematic squeeze depth, so a carried part slips out under the
-    # eef accelerations the scripted generator commands (move_speed=0.1 m
-    # per control step), where MuJoCo's force-closed servos track rigidly.
-    grip_linear: float = 0.3
-    # gravity-compensate a pinched part's group while it is held between
-    # both fingers: the torsion damper above cancels relative angular
-    # VELOCITY but not the steady gravity torque about the grasp line, so a
-    # carried part otherwise droops at a constant angle. A force-closed
-    # MuJoCo grasp supports the full weight through the finger servos
-    # (reference kp≈1e4-1e6); this is the equivalent net effect.
-    grip_gravity_comp: bool = True
+    # finger-servo press velocity (m/s). The reference's finger position
+    # servos are force-limited actuators (kp=1e4-1e6, forcerange ±20 N,
+    # grippers/two_finger_gripper.xml): blocked against a part, the pad
+    # keeps pressing. Here the press is a prescribed INWARD surface
+    # velocity on engaged finger contact lanes (vel_b += v·n̂ while the
+    # servo commands closing and penetration holds at the squeeze clamp),
+    # so squeeze forces — and with them the friction force closure that
+    # carries and reorients grasped parts — emerge from the contact solve
+    # itself, momentum-consistently. The impulse level saturates at the
+    # warm-start cap (engine.WARM_CAP_ACC × per-lane effective mass —
+    # inertia-aware, so gram-scale sticks are not over-torqued). Replaces
+    # both the retired grip_torsion/grip_linear/grip_gravity_comp blend
+    # assists and the round-5 interim fixed-force normal floor, whose
+    # unconditional pad-couple noise spun light parts out of the grasp.
+    grip_press_vel: float = 0.05
 
 
 @dataclass(frozen=True)

@@ -284,9 +284,11 @@ class ArmEnv:
 
         G1, G2 = K.joint_dyn_matrices(r, state.qpos, cfg.timestep)
         anc_lane = jnp.asarray(self._lane_anc)
+        # warm-start buffer: base lanes + robot lanes (see engine.substeps)
+        n_lam = self.substep.n_base_lanes + len(self._lane_part)
 
         def body(carry, _):
-            qpos, qvel, parts = carry
+            qpos, qvel, parts, lam_ws = carry
             fk_out = K.fk(r, qpos)
             rg_pos, rg_quat = K.geom_world(r, fk_out)
             rg_vel, rg_ang = K.geom_velocities(r, fk_out, qvel)
@@ -314,7 +316,22 @@ class ArmEnv:
                     jnp.where(extra.mask & lanes, extra.depth, -jnp.inf)
                 )
                 deep = pen > cfg.gripper_squeeze
-                deeps[arm] = deep
+                grows_ = jnp.asarray(r.gripper_actuators[arm])
+                gj_ = jnp.asarray(r.act_joint[r.gripper_actuators[arm]])
+                cs_ = jnp.asarray(
+                    r.act_close_sign[r.gripper_actuators[arm]], jnp.float32
+                )
+                # servo actively commanding closure (raw ctrl beyond the
+                # current finger position in the closing direction): an OPEN
+                # gripper straddling a part must not squeeze — the floor
+                # otherwise grabs lying legs during descent and drags them
+                closing = jnp.any(cs_ * (ctrl[grows_] - qpos[gj_]) > 0)
+                # the floor engages at HALF the servo clamp threshold: the
+                # clamp equilibrates penetration right at `gripper_squeeze`,
+                # so gating the floor on the same value makes the pinch
+                # flicker substep-to-substep (floor active only part-time
+                # and carried grasps still slipped)
+                deeps[arm] = closing & (pen > 0.5 * cfg.gripper_squeeze)
                 grows = jnp.asarray(r.gripper_actuators[arm])
                 gj = jnp.asarray(r.act_joint[r.gripper_actuators[arm]])
                 cs = jnp.asarray(
@@ -331,197 +348,62 @@ class ArmEnv:
             tau, _, _ = K.actuator_torques(r, qpos, qvel, ctrl_eff)
             if tau_extra is not None:
                 tau = tau + tau_extra
-            # gravity-compensate firmly-grasped groups: both fingers touching
-            # AND the squeeze servo engaged (SimConfig.grip_gravity_comp) —
-            # light double-touches must not make parts weightless or they
-            # float out of reach during grasp acquisition
-            gscale = jnp.ones(self._P)
-            if cfg.grip_gravity_comp:
-                lane_part = jnp.asarray(self._lane_part)
-                pinched = jnp.zeros(self._P, bool)
+            # finger-servo press (SimConfig.grip_press_vel): while the servo
+            # commands closing and the squeeze clamp holds penetration, the
+            # pad surface keeps advancing — modeled as an inward prescribed
+            # surface velocity on the engaged finger lanes. Squeeze forces
+            # (and the resulting friction force closure) then emerge from
+            # the contact solve itself, momentum-consistently, saturating
+            # at the warm-start cap. n̂ points from the finger surface
+            # toward the part body, so the advancing pad surface moves
+            # along +n̂.
+            if cfg.grip_press_vel > 0 and len(self._lane_part):
+                press = jnp.zeros(extra.mask.shape, jnp.float32)
                 for arm in self.arms:
-                    tl = (
-                        jax.ops.segment_max(
-                            (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
-                                jnp.int32
-                            ),
-                            lane_part,
-                            num_segments=self._P,
-                        )
-                        > 0
+                    finger = jnp.asarray(self._lane_l[arm] | self._lane_r[arm])
+                    press = press + jnp.where(
+                        extra.mask & finger & deeps[arm], 1.0, 0.0
                     )
-                    tr = (
-                        jax.ops.segment_max(
-                            (extra.mask & jnp.asarray(self._lane_r[arm])).astype(
-                                jnp.int32
-                            ),
-                            lane_part,
-                            num_segments=self._P,
-                        )
-                        > 0
-                    )
-                    pinched = pinched | (tl & tr & deeps[arm])
-                pin_g = jnp.any(
-                    (state.group[:, None] == state.group[None, :])
-                    & pinched[None, :],
-                    axis=1,
+                extra = extra._replace(
+                    vel_b=extra.vel_b
+                    + cfg.grip_press_vel * press[:, None] * extra.normal
                 )
-                gscale = jnp.where(pin_g, 0.0, 1.0)
+            gscale = jnp.ones(self._P)
             if couple:
-                parts2, lam_imp = self.substep(
+                parts2, lam_imp, lam_ws = self.substep(
                     parts,
                     state.group,
                     gscale,
                     extra_contacts=extra,
                     return_extra_impulses=True,
+                    lam_warm=lam_ws,
+                    return_lam=True,
                 )
                 p_c = K.contact_impulses_to_joints(
                     r, fk_out, extra.point, anc_lane, lam_imp
                 )
             else:
-                parts2 = self.substep(
-                    parts, state.group, gscale, extra_contacts=extra
+                parts2, lam_ws = self.substep(
+                    parts, state.group, gscale, extra_contacts=extra,
+                    lam_warm=lam_ws,
+                    return_lam=True,
                 )
                 p_c = jnp.zeros(r.nj)
-            # torsional grip assist (SimConfig.grip_torsion): a part pinched
-            # by both fingers has its group's angular velocity blended toward
-            # the hand's — restoring the force closure MuJoCo's high-kp
-            # finger servos provide, which point-contact friction alone
-            # cannot (almost no torque about the pad normal)
-            if cfg.grip_torsion > 0 or cfg.grip_linear > 0:
-                lane_part = jnp.asarray(self._lane_part)
-                av = parts2.ang_vel
-                lv = parts2.lin_vel
-                # suppress the blends for groups with active NON-finger
-                # contacts (floor / other parts): the post-solve velocity
-                # override otherwise turns a held part into an unstoppable
-                # hammer — repeated penetration resolution pumps energy into
-                # whatever it presses against (observed: tabletops launched
-                # airborne when a held leg was lowered onto them). With the
-                # blend suppressed, the contact solver arbitrates the
-                # grip-vs-obstacle fight through the finger friction lanes.
-                from ..physics.collide import (
-                    floor_contacts as _fc,
-                    pair_contacts as _pc,
-                )
-
-                fc = _fc(
-                    self.tables, parts2.pos, parts2.quat, cfg.contact_slop
-                )
-                ext = (
-                    jax.ops.segment_max(
-                        fc.mask.astype(jnp.int32),
-                        fc.part_a,
-                        num_segments=self._P,
-                    )
-                    > 0
-                )
-                pc = _pc(
-                    self.tables, parts2.pos, parts2.quat, state.group,
-                    cfg.contact_slop,
-                )
-                for side in (pc.part_a, pc.part_b):
-                    ext = ext | (
-                        jax.ops.segment_max(
-                            pc.mask.astype(jnp.int32),
-                            side,
-                            num_segments=self._P,
-                        )
-                        > 0
-                    )
-                ext_g = jnp.any(
-                    (state.group[:, None] == state.group[None, :])
-                    & ext[None, :],
-                    axis=1,
-                )
-                blend_on = ~ext_g
-                for arm in self.arms:
-                    tl = (
-                        jax.ops.segment_max(
-                            (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
-                                jnp.int32
-                            ),
-                            lane_part,
-                            num_segments=self._P,
-                        )
-                        > 0
-                    )
-                    tr = (
-                        jax.ops.segment_max(
-                            (extra.mask & jnp.asarray(self._lane_r[arm])).astype(
-                                jnp.int32
-                            ),
-                            lane_part,
-                            num_segments=self._P,
-                        )
-                        > 0
-                    )
-                    # pinched = both fingers touch AND the squeeze servo is
-                    # engaged (matches the megakernel; an open gripper
-                    # double-touch must not trigger the velocity override)
-                    pin = tl & tr & deeps[arm]
-                    pin_g = jnp.any(
-                        (state.group[:, None] == state.group[None, :])
-                        & pin[None, :],
-                        axis=1,
-                    )
-                    if cfg.grip_torsion > 0:
-                        # torsion stays active in contact: it only matches
-                        # angular velocity (low energy) and losing it makes
-                        # the leg swing exactly when precision matters
-                        w_h = K.body_angvel(r, fk_out, qvel, r.eef_body[arm])
-                        av = jnp.where(
-                            pin_g[:, None],
-                            av + cfg.grip_torsion * (w_h[None] - av),
-                            av,
-                        )
-                    if cfg.grip_linear > 0:
-                        # rigid-carry target: the HAND's rigid-body velocity
-                        # evaluated at the held group's COM, exact from the
-                        # joint state. (An earlier version averaged the
-                        # active finger-lane surface velocities, but that
-                        # estimate flickers with the contact manifold and at
-                        # high blend strengths its noise transfers straight
-                        # into the carried part; the jacobian velocity is
-                        # what the reference's force-closed kp≈1e5 grasp
-                        # would impose.)
-                        mass = jnp.asarray(
-                            self.tables["part_mass"], jnp.float32
-                        )
-                        com_l = jnp.asarray(
-                            self.tables["part_com"], jnp.float32
-                        )
-                        # pre-step poses: matches the megakernel, whose
-                        # group aggregates are computed at substep start
-                        com_w = parts.pos + T.quat_rotate(
-                            parts.quat, com_l
-                        )
-                        member = (
-                            state.group[:, None] == state.group[None, :]
-                        ).astype(jnp.float32)
-                        g_m = member @ mass
-                        g_com = (
-                            member @ (mass[:, None] * com_w)
-                        ) / g_m[:, None]
-                        body = r.eef_body[arm]
-                        v_h = jax.vmap(
-                            lambda pt: (
-                                K.point_jacobian(r, fk_out, body, pt) @ qvel
-                            )[:3]
-                        )(g_com)
-                        lv = jnp.where(
-                            (pin_g & blend_on)[:, None],
-                            lv + cfg.grip_linear * (v_h - lv),
-                            lv,
-                        )
-                parts2 = parts2._replace(ang_vel=av, lin_vel=lv)
             qpos2, qvel2 = K.integrate_precomputed(
                 r, G1, G2, qpos, qvel, tau, p_c, cfg.timestep
             )
-            return (qpos2, qvel2, parts2), extra.mask
+            return (qpos2, qvel2, parts2, lam_ws), extra.mask
 
-        (qpos, qvel, parts), masks = jax.lax.scan(
-            body, (state.qpos, state.qvel, state.parts), None, length=n
+        (qpos, qvel, parts, _), masks = jax.lax.scan(
+            body,
+            (
+                state.qpos,
+                state.qvel,
+                state.parts,
+                jnp.zeros((n_lam, 3), jnp.float32),
+            ),
+            None,
+            length=n,
         )
         state = state._replace(qpos=qpos, qvel=qvel, parts=parts)
         return self._update_touches(state, masks[-1])
@@ -828,6 +710,37 @@ class ArmEnv:
             t=jnp.array(0, jnp.int32),
         )
         return state
+
+    def restore_snapshot(self, state: ArmState, snap: dict) -> ArmState:
+        """Overwrite the dynamic fields of ``state`` with one recorded demo
+        ``states`` entry (``utils/demo.py`` stream; reference state-based
+        ``run_demo`` replay, ``env/furniture.py:2183``). ``state`` supplies
+        the remaining bookkeeping fields (a fresh ``reset`` works)."""
+        parts = state.parts._replace(
+            pos=jnp.asarray(snap["parts_pos"], jnp.float32),
+            quat=jnp.asarray(snap["parts_quat"], jnp.float32),
+            lin_vel=jnp.asarray(snap["parts_lin_vel"], jnp.float32),
+            ang_vel=jnp.asarray(snap["parts_ang_vel"], jnp.float32),
+        )
+        qpos = jnp.asarray(snap["qpos"], jnp.float32)
+        # refresh the persistent IK target at the restored hand pose
+        fk_out = K.fk(self.robot, qpos)
+        tpos, hqi = [], []
+        for arm in self.arms:
+            hp, hq = K.eef_pose(self.robot, fk_out, arm)
+            tpos.append(hp)
+            hqi.append(hq)
+        return state._replace(
+            parts=parts,
+            qpos=qpos,
+            qvel=jnp.asarray(snap["qvel"], jnp.float32),
+            ik_target_pos=jnp.stack(tpos),
+            hand_quat_init=jnp.stack(hqi),
+            group=jnp.asarray(snap["group"], jnp.int32),
+            weld_active=jnp.asarray(snap["weld_active"], bool),
+            conn_connected=jnp.asarray(snap["conn_connected"], bool),
+            num_connected=jnp.asarray(snap["num_connected"], jnp.int32),
+        )
 
     def set_init_state_pool(self, pool) -> None:
         """Install an initial-state pool (see ``utils/init_pool``).

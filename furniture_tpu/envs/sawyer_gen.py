@@ -219,35 +219,10 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
     (reference ``FurnitureSawyerGenEnv``, ``furniture_sawyer_gen.py:13``)."""
 
     def __init__(self, config: EnvConfig | None = None, model=None):
-        # the scripted carry commands fast mid-air reorientations of the
-        # grasped leg; the default grip-blend strength (0.3, tuned for demo
-        # replay) lets the leg swing and escape. With the rigid-carry blend
-        # target (hand point velocity at the group COM, gated on the squeeze
-        # servo) the generator floors the blends at 0.9/1.0 — near-rigid
-        # tracking, the effective behavior of the reference's force-closed
-        # kp≈1e5 grasp (probed over 32-episode TPU batches).
-        import dataclasses
-
-        _GT, _GL = 0.9, 1.0
-        if config is not None:
-            sim = config.sim
-            if sim.grip_torsion < _GT or sim.grip_linear < _GL:
-                config = dataclasses.replace(
-                    config,
-                    sim=dataclasses.replace(
-                        sim,
-                        grip_torsion=max(_GT, sim.grip_torsion),
-                        grip_linear=max(_GL, sim.grip_linear),
-                    ),
-                )
-        else:
-            cfg0 = EnvConfig()
-            config = dataclasses.replace(
-                cfg0,
-                sim=dataclasses.replace(
-                    cfg0.sim, grip_torsion=_GT, grip_linear=_GL
-                ),
-            )
+        # carry/grasp rigidity comes from the bounded-force finger squeeze
+        # (SimConfig.grip_force, the reference's forcerange ±20 N servos) —
+        # no per-env overrides needed; the velocity-blend assists earlier
+        # rounds floored here are retired.
         super().__init__(config, model)
         p = self.model.recipe_raw
         self._p = p
@@ -388,6 +363,17 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         rel = T.quat_mul(gconn_quat, T.quat_inv(tconn_quat))
         hand_tgt = env_state.hand_quat_init[0]
 
+        # the env's own connectability predicate for the current pair
+        # (``_is_aligned``, env/furniture.py:1057-1153): the fine phases
+        # press connect the moment the env would accept it. The policy's
+        # own eps_fine deadbands are STRICTER than the env tolerance, and
+        # waiting for every action component to zero while the leg presses
+        # against the tabletop lets contact torques tip the leg out of
+        # alignment first (measured: staged runs hovered 7 mm outside
+        # eps_fine, perfectly aligned, until the grasp ripped).
+        aligned_now, _ = self.ops.alignment(parts)
+        fine_ok = aligned_now[gconn, tconn]
+
         def to_act(omega_world):
             """World rotation vector [rad] → euler action slots 3:6.
 
@@ -521,7 +507,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         def ph_xy_move_conn(gen):
             act = a.at[6].set(1.0)
             d, reached = _move_xy(gconn_pred[:2], tconn_pos[:2], self.eps)
+            # opportunistic press: the env accepts a connect whenever its
+            # alignment predicate holds — firing at the earliest aligned
+            # instant skips the risky fine descent into table contact
             act = act.at[0:2].set(d)
+            act = jnp.where(fine_ok, act.at[7].set(1.0), act)
             return act, gen._replace(
                 phase=jnp.where(reached, Z_MOVE_CONN, gen.phase).astype(jnp.int32)
             )
@@ -532,6 +522,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 gconn_pred, tconn_pos, self.eps, z_conn + self._z_finedist
             )
             act = act.at[0:3].set(jnp.clip(d, -0.3, 0.3))
+            act = jnp.where(fine_ok, act.at[7].set(1.0), act)
             reached = jnp.all(d == 0)
             return act, gen._replace(
                 phase=jnp.where(reached, ALIGN_CONN_FINE, gen.phase).astype(
@@ -554,7 +545,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 act.at[0:2].set(d),
                 act.at[3:6].set(to_act(rot)),
             )
-            advance = up_zero & fwd_zero & reached
+            advance = (up_zero & fwd_zero & reached) | fine_ok
             return act, gen._replace(
                 phase=jnp.where(advance, Z_MOVE_CONN_FINE, gen.phase).astype(
                     jnp.int32
@@ -573,21 +564,15 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             )
             rot = jnp.where(up_zero, w_fwd, w_up)
             act = act.at[0:3].set(d).at[3:6].set(to_act(rot))
-            done = jnp.all(act[0:6] == 0)
-            act = jnp.where(done, act.at[7].set(1.0), act)
-            # safepos <- gripbase + nogrip_safepos offsets
-            off = jnp.asarray(self._ng)[gen.part, :, :3]
-            tgt = gripbase[None, :] + off + gen.noise_ng[None, :]
-            return act, gen._replace(
-                phase=jnp.where(done, MOVE_NOGRIP_SAFEPOS, gen.phase).astype(
-                    jnp.int32
-                ),
-                safepos=jnp.where(done, tgt, gen.safepos),
-                safepos_len=jnp.where(
-                    done, jnp.asarray(self._ng_len)[gen.part], gen.safepos_len
-                ),
-                safepos_idx=jnp.where(done, 0, gen.safepos_idx),
-            )
+            # press connect whenever the env's own predicate accepts; the
+            # phase is LEFT only on evidence the env actually connected
+            # (the global connected-evidence redirect below) — the state
+            # moves during the 50 substeps between decision and connect
+            # check, and a press that arrives misaligned must be retried,
+            # not assumed successful
+            press = jnp.all(act[0:6] == 0) | fine_ok
+            act = jnp.where(press, act.at[7].set(1.0), act)
+            return act, gen
 
         def ph_move_nogrip(gen):
             act = a.at[6].set(-1.0)
@@ -624,6 +609,31 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 ph_part_done,
             ],
             gen,
+        )
+
+        # connected-evidence redirect: whatever align/approach phase the
+        # policy was in when the env registered the connect (opportunistic
+        # presses fire from several phases), retreat to the nogrip safepos
+        # and let the PART_DONE handler advance to the next part
+        connected_evt = (
+            (env_state.subtask_step > gen.part)
+            | (env_state.num_connected >= self.n_subtasks)
+        ) & (gen.phase >= ALIGN_CONN) & (gen.phase <= Z_MOVE_CONN_FINE)
+        off_ng = jnp.asarray(self._ng)[gen.part, :, :3]
+        tgt_ng = gripbase[None, :] + off_ng + gen.noise_ng[None, :]
+        gen = gen._replace(
+            phase=jnp.where(
+                connected_evt, MOVE_NOGRIP_SAFEPOS, gen.phase
+            ).astype(jnp.int32),
+            safepos=jnp.where(connected_evt, tgt_ng, gen.safepos),
+            safepos_len=jnp.where(
+                connected_evt,
+                jnp.asarray(self._ng_len)[gen.part],
+                gen.safepos_len,
+            ).astype(jnp.int32),
+            safepos_idx=jnp.where(connected_evt, 0, gen.safepos_idx).astype(
+                jnp.int32
+            ),
         )
 
         # magnitudes + clip (:679-683, :117-124). The reference also floors
@@ -768,13 +778,37 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         reset = jax.jit(self.reset_batch)
         init_pol = jax.jit(jax.vmap(self.init_policy_state))
 
+        def state_snap(env_s):
+            """Per-step env-state stream entry (the reference DemoRecorder's
+            ``states`` = MuJoCo qpos/qvel, ``util/demo_recorder.py:33-56``;
+            here the engine state is parts pose/vel + robot joints, plus the
+            assembly fields needed to restore/replay the state exactly)."""
+            return {
+                "parts_pos": env_s.parts.pos,
+                "parts_quat": env_s.parts.quat,
+                "parts_lin_vel": env_s.parts.lin_vel,
+                "parts_ang_vel": env_s.parts.ang_vel,
+                "qpos": env_s.qpos,
+                "qvel": env_s.qvel,
+                "group": env_s.group,
+                "weld_active": env_s.weld_active,
+                "conn_connected": env_s.conn_connected,
+                "num_connected": env_s.num_connected,
+            }
+
         def one_step(carry, _):
             env_s, gen_s = carry
             action, gen_s = jax.vmap(self.scripted_action)(gen_s, env_s)
             env_s, obs, rew, done, info = self.step_batch(env_s, action)
-            rec = (action, rew, info["success"], env_s.num_connected)
+            rec = {
+                "action": action,
+                "rew": rew,
+                "succ": info["success"],
+                "nconn": env_s.num_connected,
+                "state": state_snap(env_s),
+            }
             if record_obs:
-                rec = rec + (obs,)
+                rec["obs"] = obs
             return (env_s, gen_s), rec
 
         # the rollout runs in fixed-length jitted segments with a host loop
@@ -795,6 +829,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         gen_s = init_pol(env_s, jax.random.split(k_gen, batch))
         obs0 = jax.jit(jax.vmap(self.observe))(env_s)
         obs0 = {k: np.asarray(v) for k, v in obs0.items()}
+        state0 = jax.tree.map(np.asarray, state_snap(env_s))
 
         chunks = []
         n_seg = int(np.ceil(max_steps / seg))
@@ -802,8 +837,10 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             env_s, gen_s, traj = rollout_seg(env_s, gen_s)
             chunks.append(jax.tree.map(np.asarray, traj))
         traj = jax.tree.map(lambda *xs: np.concatenate(xs)[:max_steps], *chunks)
-        actions, rewards, successes, n_conn = traj[:4]
-        obs_t = traj[4] if record_obs else None
+        actions, rewards = traj["action"], traj["rew"]
+        successes, n_conn = traj["succ"], traj["nconn"]
+        states_t = traj["state"]
+        obs_t = traj.get("obs") if record_obs else None
 
         succ = successes.any(axis=0)                         # [B]
         first = np.where(succ, successes.argmax(0) + 1, max_steps)
@@ -814,6 +851,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 return {k: np.asarray(v[b]) for k, v in obs0.items()}
             return {k: np.asarray(v[t, b]) for k, v in obs_t.items()}
 
+        def state_slice(t, b):
+            if t < 0:
+                return {k: v[b] for k, v in state0.items()}
+            return {k: v[t, b] for k, v in states_t.items()}
+
         demos = []
         for b in np.flatnonzero(succ)[:n_demos]:
             t_end = int(first[b])
@@ -821,6 +863,13 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 "actions": actions[:t_end, b],
                 "rewards": rewards[:t_end, b],
                 "num_connected": int(n_conn[t_end - 1, b]),
+                # reference-schema per-step streams
+                # (util/demo_recorder.py:33-56): states has one more entry
+                # than actions (reset state first) so state-replay aligns
+                # with obs; connect_actions mirrors the action's connect bit
+                "states": [state_slice(-1, b)]
+                + [state_slice(t, b) for t in range(t_end)],
+                "connect_actions": (actions[:t_end, b, -1] > 0.0).tolist(),
             }
             if record_obs:
                 d["obs"] = [ob_slice(-1, b)] + [
@@ -840,11 +889,15 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 for t, a in enumerate(d["actions"]):
                     rec.add(
                         ob=d["obs"][t] if record_obs else None,
+                        state=d["states"][t],
                         action=a,
                         reward=float(d["rewards"][t]),
+                        connect_action=d["connect_actions"][t],
                     )
-                if record_obs:
-                    rec.add(ob=d["obs"][len(d["actions"])])
+                rec.add(
+                    ob=d["obs"][len(d["actions"])] if record_obs else None,
+                    state=d["states"][len(d["actions"])],
+                )
                 rec.save(f"Sawyer_{self.config.furniture_name}_", count=i)
 
         if store_path is not None and demos:

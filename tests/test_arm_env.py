@@ -151,9 +151,10 @@ def test_grasp_lift_release(env, reset_state, step):
 
 def test_fast_transport_keeps_grip(env, reset_state, step):
     """A pinched part must track the hand through full-speed lateral
-    transport (SimConfig.grip_linear): the scripted generator carries legs
-    at move_speed=0.1 m/control-step, where finger friction impulses alone
-    let the part slip out (MuJoCo's force-closed servos track rigidly)."""
+    transport (SimConfig.grip_force): the scripted generator carries legs
+    at move_speed=0.1 m/control-step. The bounded-force squeeze floor gives
+    the finger friction cone a ±20 N budget (the reference's force-limited
+    finger servos), so the grasp holds without velocity-blend assists."""
     s = reset_state
     fk = K.fk(env.robot, s.qpos)
     gp, _ = K.site_world(env.robot, fk, "right")

@@ -248,12 +248,7 @@ def test_replay_reference_sawyer_demo():
     # recorded hand drags the column through floor contact
     assert eef_errs[:20].mean() < 0.05, f"free-space err {eef_errs[:20].mean()}"
     assert eef_errs.mean() < 0.12, f"eef tracking err {eef_errs.mean()}"
-    # 0.20 (was 0.15): gating the grip velocity-blends on the squeeze servo
-    # being engaged (not just a double-touch) costs ~2 cm of mean part error
-    # here — the replayed demo's light-touch column drag no longer gets the
-    # rigid-carry assist — but removes the open-gripper part-launching
-    # failure that blocked full scripted assemblies (see sawyer_gen).
-    assert part_errs.mean() < 0.20, f"part err {part_errs.mean()}"
+    assert part_errs.mean() < 0.15, f"part err {part_errs.mean()}"
 
     # connect parity against recorded ground truth: at the demo's connect
     # press (t=148, the column held 2.5 mm above the base socket) the
