@@ -51,6 +51,36 @@ def save_pool(path: str, snaps_or_pool) -> None:
         pickle.dump(pool, f)
 
 
+def pool_from_demo(demo, stride: int = 50) -> dict:
+    """Harvest init-state pool entries from a demo's recorded ``states``
+    stream (the reference harvests reset pools from recorded env states and
+    successful terminals — ``env/furniture.py:127-130, 478``).
+
+    Takes every ``stride``-th state plus the final one. Velocities are
+    dropped: pool entries are reset configurations, which start at rest."""
+    states = demo.get("states") or []
+    if not states:
+        raise ValueError("demo carries no states stream")
+    picks = list(states[::stride])
+    if states[-1] is not picks[-1]:
+        picks.append(states[-1])
+    snaps = []
+    for st in picks:
+        snap = {
+            "pos": np.asarray(st["parts_pos"]),
+            "quat": np.asarray(st["parts_quat"]),
+            "group": np.asarray(st["group"]),
+            "weld_active": np.asarray(st["weld_active"]),
+            "conn_connected": np.asarray(st["conn_connected"]),
+            "num_connected": np.asarray(st["num_connected"]),
+        }
+        if "qpos" in st:
+            snap["qpos"] = np.asarray(st["qpos"])
+            snap["qvel"] = np.zeros_like(np.asarray(st["qvel"]))
+        snaps.append(snap)
+    return stack_pool(snaps)
+
+
 def load_pool(path: str) -> dict:
     with open(path, "rb") as f:
         pool = pickle.load(f)

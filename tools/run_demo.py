@@ -35,6 +35,11 @@ def main():
     p.add_argument("--screen_width", type=int, default=256)
     p.add_argument("--screen_height", type=int, default=256)
     p.add_argument("--platform", default="cpu")
+    p.add_argument(
+        "--state_replay", action="store_true",
+        help="replay the recorded states stream (reference run_demo, "
+        "env/furniture.py:2183) instead of stepping recorded actions",
+    )
     args = p.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", args.platform)
@@ -51,6 +56,35 @@ def main():
                    screen_width=args.screen_width,
                    screen_height=args.screen_height)
     env.reset(seed=args.seed)
+
+    states_rec = demo.get("states") or []
+    if args.state_replay:
+        # reference state-based playback: drive the env through the
+        # recorded state stream frame by frame (env/furniture.py:2183)
+        if not states_rec or "parts_pos" not in states_rec[0]:
+            raise SystemExit("demo carries no replayable states stream")
+        vid = None
+        if args.video:
+            from furniture_tpu.utils.video_recorder import VideoRecorder
+
+            vid = VideoRecorder(args.video)
+        st = env.get_env_state()
+        for t, snap in enumerate(states_rec):
+            st = env.env.restore_snapshot(st, snap)
+            env.set_env_state(st)
+            if vid:
+                vid.capture_frame(
+                    (env.render("rgb_array") * 255).astype(np.uint8)
+                )
+        if vid:
+            vid.close()
+            print(f"video -> {args.video}")
+        print(json.dumps({
+            "steps": len(states_rec),
+            "num_connected": int(states_rec[-1]["num_connected"]),
+            "mode": "state_replay",
+        }))
+        return
 
     vid = None
     if args.video:
