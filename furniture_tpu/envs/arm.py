@@ -162,18 +162,13 @@ class ArmEnv:
         self.arms = r.arms
         self.n_arms = len(r.arms)
 
-        # static per-lane finger masks for touch detection
+        # static per-lane finger masks for touch detection (flat per-lane
+        # robot tables, engine.robot_contact_tables)
         lane_rg = self.tables["_lane_rgeom"]
-        pairs = self.tables["_robot_pairs"]
-        NS = len(self.tables["_robot_signs"])  # samples per pair side
+        rl_pgeom = self.tables["_rl_pgeom"]
         lane_part = (
-            np.concatenate(
-                [
-                    np.repeat(self.tables["geom_part"][pairs[:, 1]], NS),
-                    np.repeat(self.tables["geom_part"][pairs[:, 1]], NS),
-                ]
-            )
-            if len(pairs)
+            np.concatenate([self.tables["geom_part"][rl_pgeom]] * 2)
+            if len(rl_pgeom)
             else np.zeros(0, np.int32)
         )
         self._lane_part = lane_part

@@ -196,43 +196,51 @@ class ArmMegaPhysics:
             else np.zeros(0, np.float32)
         )
 
-        # ---- robot lanes (mirror collide.robot_contacts lane order) ----
+        # ---- robot lanes (flat per-lane tables; mirror
+        # collide.robot_contacts lane order: side 1 then side 2) ----
         rpairs = np.asarray(tables["_robot_pairs"]).reshape(-1, 2)
-        NR = len(rpairs)
-        assert NR > 0, "arm megakernel needs robot contact pairs"
-        rg = rpairs[:, 0]                      # robot geom (global robot idx)
-        pg = rpairs[:, 1]                      # part geom
+        assert len(rpairs) > 0, "arm megakernel needs robot contact pairs"
+        lane_rg1 = np.asarray(tables["_rl_rgeom"])   # [L] robot geom per lane
+        lane_pg1 = np.asarray(tables["_rl_pgeom"])   # [L] part geom per lane
+        rl_sign = np.asarray(tables["_rl_sign"], np.float32)  # [L,3]
+        rl_pair = np.asarray(tables["_rl_pair"])
+        L = len(lane_rg1)
         r_sizes = np.asarray(tables["robot_np"]["_box_sizes"], np.float32)
         r_fric = np.asarray(tables["robot_np"]["geom_friction"], np.float32)
-        # robot sample set chosen at table-build time (8 corners for large
-        # configs like Baxter so the kernel's VMEM working set fits; must
-        # match collide.robot_contacts, which reads the same table)
-        r_signs = np.asarray(tables["_robot_signs"], np.float32)
-        NS = len(r_signs)
-        self.Kr1 = NR * NS                      # part samples in robot box
-        self.Kr2 = NR * NS                      # robot samples in part box
+        self.Kr1 = L                            # part samples in robot box
+        self.Kr2 = L                            # robot samples in part box
         self.Kr = self.Kr1 + self.Kr2
 
         # unique robot geoms, in hand order (rpairs is robot-geom-major)
-        hand_list = list(dict.fromkeys(rg.tolist()))
+        hand_list = list(dict.fromkeys(rpairs[:, 0].tolist()))
         self.hand_list = hand_list
         NRG = len(hand_list)
         self.NRG = NRG
         hand_slot = {g: i for i, g in enumerate(hand_list)}
-        lane_rg1 = np.repeat(rg, NS)
-        lane_pg1 = np.repeat(pg, NS)
         slot1 = np.array([hand_slot[g] for g in lane_rg1])
 
-        # side 1: part-geom sample points (part frame, static)
-        self.r1_corner = _part_frame_points(r_signs, sizes, gpos, gquat, pg)
+        # side 1: part-geom sample points (part frame, static, per lane)
+        r1c = np.zeros((L, 3), np.float32)
+        for i in range(L):
+            g = lane_pg1[i]
+            c = rl_sign[i] * sizes[g]
+            w, x, y, z_ = gquat[g]
+            R = np.array(
+                [
+                    [1 - 2 * (y * y + z_ * z_), 2 * (x * y - w * z_), 2 * (x * z_ + w * y)],
+                    [2 * (x * y + w * z_), 1 - 2 * (x * x + z_ * z_), 2 * (y * z_ - w * x)],
+                    [2 * (x * z_ - w * y), 2 * (y * z_ + w * x), 1 - 2 * (x * x + y * y)],
+                ],
+                np.float32,
+            )
+            r1c[i] = gpos[g] + R @ c
+        self.r1_corner = r1c
         self.r1_rsize = r_sizes[lane_rg1]                        # [Kr1,3]
         self.OHR1 = _onehot(slot1, NRG)                          # [Kr1,NRG]
         self.OAr1 = _onehot(gp[lane_pg1], P)                     # [Kr1,P]
 
         # side 2: robot-geom sample points (robot-geom frame, static)
-        self.r2_off = np.repeat(
-            r_sizes[rg], NS, axis=0
-        ) * np.tile(r_signs, (NR, 1))                            # [Kr2,3]
+        self.r2_off = r_sizes[lane_rg1] * rl_sign                # [Kr2,3]
         lane_rg2 = lane_rg1
         lane_pg2 = lane_pg1
         self.OHR2 = self.OHR1
@@ -241,8 +249,8 @@ class ArmMegaPhysics:
         self.r2_dst_quat = gquat[lane_pg2]
         self.r2_dst_size = sizes[lane_pg2]
 
-        rfr = np.maximum(fric[pg], r_fric[rg])
-        lane_rfric = np.concatenate([np.repeat(rfr, NS)] * 2)
+        rfr = np.maximum(fric[lane_pg1], r_fric[lane_rg1])
+        lane_rfric = np.concatenate([rfr] * 2)
 
         # per-robot-lane geom slot / body / joint-ancestry (both sides)
         lane_rg = np.concatenate([lane_rg1, lane_rg2])
@@ -316,7 +324,7 @@ class ArmMegaPhysics:
             if NP_
             else np.zeros(0, np.float32)
         )
-        r_beta = np.concatenate([np.repeat(tables["_robot_beta"], NS)] * 2)
+        r_beta = np.concatenate([tables["_robot_beta"][rl_pair]] * 2)
         self.lane_beta = np.concatenate(
             [
                 np.repeat(tables["_floor_beta"], 8),

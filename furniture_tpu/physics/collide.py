@@ -457,9 +457,10 @@ def robot_contacts(
     and its body's angular velocity. Also returns per-lane robot geom ids via
     the static table so envs can detect finger touches.
     """
-    pairs = model_np["_robot_pairs"]            # [NP,2] (robot geom, part geom)
-    NP = len(pairs)
-    if NP == 0:
+    rl_rgeom = model_np["_rl_rgeom"]            # [L] robot geom per side lane
+    rl_pgeom = model_np["_rl_pgeom"]            # [L] part geom per side lane
+    L = len(rl_rgeom)
+    if L == 0:
         z3 = jnp.zeros((0, 3), jnp.float32)
         z = jnp.zeros((0,), jnp.float32)
         zi = jnp.zeros((0,), jnp.int32)
@@ -472,71 +473,66 @@ def robot_contacts(
     fric = jnp.asarray(model_np["geom_friction"], jnp.float32)
     r_fric = jnp.asarray(robot_np["geom_friction"], jnp.float32)
 
-    rg = jnp.asarray(pairs[:, 0])               # robot geom idx
-    pg = jnp.asarray(pairs[:, 1])               # part geom idx
-    # sample set chosen at table-build time (engine.robot_contact_tables):
-    # 15-point dense set, or 8 corners when the lane budget demands it
-    corners = jnp.asarray(
-        model_np.get("_robot_signs", _SAMPLE_SIGNS15), jnp.float32
-    )
-    NS = corners.shape[0]
+    rg = jnp.asarray(rl_rgeom)
+    pg = jnp.asarray(rl_pgeom)
+    # per-lane sample sign vectors (flat tables: finger geoms carry the
+    # dense 15-point set, other hand geoms may carry 8 corners —
+    # engine.robot_contact_tables)
+    signs = jnp.asarray(model_np["_rl_sign"], jnp.float32)      # [L,3]
 
-    # part-geom corners inside robot box
-    c_p = wpos[pg][:, None] + T.quat_rotate(
-        wquat[pg][:, None], corners[None] * sizes[pg][:, None]
-    )                                           # [NP,8,3]
+    # side 1: part-geom sample points inside robot box
+    c_p = wpos[pg] + T.quat_rotate(wquat[pg], signs * sizes[pg])  # [L,3]
     inv_rq = T.quat_inv(rg_quat[rg])
-    loc_p = T.quat_rotate(inv_rq[:, None], c_p - rg_pos[rg][:, None])
-    pen_p = r_sizes[rg][:, None] - jnp.abs(loc_p)
+    loc_p = T.quat_rotate(inv_rq, c_p - rg_pos[rg])
+    pen_p = r_sizes[rg] - jnp.abs(loc_p)
     in_p = jnp.all(pen_p > -slop, axis=-1)
     ax_p = jnp.argmin(pen_p, axis=-1)
     d_p = jnp.min(pen_p, axis=-1)
     sgn_p = jnp.sign(jnp.take_along_axis(loc_p, ax_p[..., None], -1))[..., 0]
     n_p = T.quat_rotate(
-        rg_quat[rg][:, None],
+        rg_quat[rg],
         jax.nn.one_hot(ax_p, 3, dtype=c_p.dtype) * sgn_p[..., None],
     )                                           # pushes part out of robot box
 
-    # robot-geom corners inside part box
-    c_r = rg_pos[rg][:, None] + T.quat_rotate(
-        rg_quat[rg][:, None], corners[None] * r_sizes[rg][:, None]
-    )
+    # side 2: robot-geom sample points inside part box
+    c_r = rg_pos[rg] + T.quat_rotate(rg_quat[rg], signs * r_sizes[rg])
     inv_pq = T.quat_inv(wquat[pg])
-    loc_r = T.quat_rotate(inv_pq[:, None], c_r - wpos[pg][:, None])
-    pen_r = sizes[pg][:, None] - jnp.abs(loc_r)
+    loc_r = T.quat_rotate(inv_pq, c_r - wpos[pg])
+    pen_r = sizes[pg] - jnp.abs(loc_r)
     in_r = jnp.all(pen_r > -slop, axis=-1)
     ax_r = jnp.argmin(pen_r, axis=-1)
     d_r = jnp.min(pen_r, axis=-1)
     sgn_r = jnp.sign(jnp.take_along_axis(loc_r, ax_r[..., None], -1))[..., 0]
     # face normal of the part box pushes the robot corner out; flip to act on part
     n_r = -T.quat_rotate(
-        wquat[pg][:, None],
+        wquat[pg],
         jax.nn.one_hot(ax_r, 3, dtype=c_r.dtype) * sgn_r[..., None],
     )
 
-    point = jnp.concatenate([c_p.reshape(-1, 3), c_r.reshape(-1, 3)])
-    normal = jnp.concatenate([n_p.reshape(-1, 3), n_r.reshape(-1, 3)])
-    depth = jnp.concatenate([d_p.reshape(-1), d_r.reshape(-1)])
-    inside = jnp.concatenate([in_p.reshape(-1), in_r.reshape(-1)])
+    point = jnp.concatenate([c_p, c_r])
+    normal = jnp.concatenate([n_p, n_r])
+    depth = jnp.concatenate([d_p, d_r])
+    inside = jnp.concatenate([in_p, in_r])
 
-    pa = jnp.concatenate([jnp.repeat(gpart[pg], NS), jnp.repeat(gpart[pg], NS)])
-    pair_fric = jnp.maximum(fric[pg], r_fric[rg])
-    fr = jnp.concatenate([jnp.repeat(pair_fric, NS)] * 2)
+    pa = jnp.concatenate([gpart[pg]] * 2)
+    lane_fric = jnp.maximum(fric[pg], r_fric[rg])
+    fr = jnp.concatenate([lane_fric] * 2)
 
     # prescribed velocity of the robot surface at each contact point
-    rg2 = jnp.concatenate([jnp.repeat(rg, NS), jnp.repeat(rg, NS)])
+    rg2 = jnp.concatenate([rg, rg])
     r = point - rg_pos[rg2]
     vel_b = rg_vel[rg2] + jnp.cross(rg_angvel[rg2], r)
 
     beta = jnp.asarray(
-        np.concatenate([np.repeat(model_np["_robot_beta"], NS)] * 2), jnp.float32
+        np.concatenate([model_np["_robot_beta"][model_np["_rl_pair"]]] * 2),
+        jnp.float32,
     )
     return Contacts(
         point,
         normal,
         depth,
         pa,
-        jnp.full((NP * 2 * NS,), -1, dtype=jnp.int32),
+        jnp.full((2 * L,), -1, dtype=jnp.int32),
         fr,
         inside,
         vel_b,

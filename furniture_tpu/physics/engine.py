@@ -484,34 +484,82 @@ def robot_contact_tables(tables: dict, robot, lane_budget: int = 1700) -> dict:
     finger-touch detection (reference finger-contact scan,
     ``env/furniture.py:1290-1330``).
 
-    The per-pair sample set (``_robot_signs``) is the dense 15-point set
-    (corners + face centers + center) when the resulting total lane count
-    fits ``lane_budget`` (``SimConfig.arm_lane_budget``), else the 8-corner
-    set — bimanual robots (Baxter: 14 hand geoms) would otherwise exceed the
-    arm megakernel's VMEM working set on TPU. Both the XLA narrow phase
-    (``collide.robot_contacts``) and the Pallas kernel read this table, so
-    the two paths stay bit-identical.
+    Sample sets are PER ROBOT GEOM: finger geoms always keep the dense
+    15-point set (corners + face centers + center — face-center fingertip
+    contacts are the case the set exists for, on every agent including
+    bimanual Baxter), while non-finger hand geoms (gripper bases/palms)
+    drop to the 8-corner set when the dense-everywhere total would exceed
+    ``lane_budget`` (the arm megakernel's VMEM working set scales with the
+    lane count). Lanes are emitted as FLAT per-lane tables (``_rl_*``):
+    side 1 (part-geom sample points vs robot box) first, then side 2
+    (robot-geom sample points vs part box), each pair contributing its own
+    sample count. Both the XLA narrow phase (``collide.robot_contacts``)
+    and the Pallas kernel read these tables, so the two paths stay
+    bit-identical.
     """
     from .collide import _CORNER_SIGNS, _SAMPLE_SIGNS15
 
     hand = np.flatnonzero(robot.hand_geoms)
+    finger = set()
+    for arm in robot.arms:
+        finger |= set(np.asarray(robot.finger_geoms_l[arm]).tolist())
+        finger |= set(np.asarray(robot.finger_geoms_r[arm]).tolist())
     part_geoms = np.arange(len(tables["geom_part"]))
     pairs = np.array(
         [(r, p) for r in hand for p in part_geoms], dtype=np.int32
     ).reshape(-1, 2)
-    # floor lanes + 16 vertex lanes + 1 SAT edge lane per part pair
+    names = list(getattr(robot, "geom_names", [])) or [""] * (
+        int(hand.max()) + 1 if len(hand) else 0
+    )
+    tip = {int(g) for g in hand if "fingertip" in names[int(g)]}
     k_base = 8 * len(tables["geom_part"]) + 17 * len(tables["_pairs"])
-    signs = _SAMPLE_SIGNS15
-    if k_base + 2 * 15 * len(pairs) > lane_budget:
-        signs = _CORNER_SIGNS
-    NS = len(signs)
-    lane_rgeom = np.concatenate(
-        [np.repeat(pairs[:, 0], NS), np.repeat(pairs[:, 0], NS)]
-    ) if len(pairs) else np.zeros(0, np.int32)
+
+    def k_total(ns):
+        return k_base + 2 * int(ns.sum())
+
+    # tiered densification under the budget: all geoms dense if it fits,
+    # else all finger geoms dense, else fingertips only (the face-center
+    # fingertip contact is the case the 15-point set exists for)
+    tiers = [
+        np.full(len(pairs), 15, np.int32),
+        np.array([15 if int(r) in finger else 8 for r, _ in pairs], np.int32),
+        np.array([15 if int(r) in tip else 8 for r, _ in pairs], np.int32),
+        np.full(len(pairs), 8, np.int32),
+    ]
+    ns_pair = tiers[-1]
+    for t in tiers:
+        if k_total(t) <= lane_budget:
+            ns_pair = t
+            break
+    s15 = np.asarray(_SAMPLE_SIGNS15, np.float32)
+    s8 = np.asarray(_CORNER_SIGNS, np.float32)
+
+    rl_pair, rl_rgeom, rl_pgeom, rl_sign = [], [], [], []
+    for i, (r, p) in enumerate(pairs):
+        s = s15 if ns_pair[i] == 15 else s8
+        rl_pair.append(np.full(len(s), i, np.int32))
+        rl_rgeom.append(np.full(len(s), r, np.int32))
+        rl_pgeom.append(np.full(len(s), p, np.int32))
+        rl_sign.append(s)
+    if pairs.size:
+        rl_pair = np.concatenate(rl_pair)
+        rl_rgeom = np.concatenate(rl_rgeom)
+        rl_pgeom = np.concatenate(rl_pgeom)
+        rl_sign = np.concatenate(rl_sign, axis=0)
+    else:
+        rl_pair = np.zeros(0, np.int32)
+        rl_rgeom = np.zeros(0, np.int32)
+        rl_pgeom = np.zeros(0, np.int32)
+        rl_sign = np.zeros((0, 3), np.float32)
+    # both sides share the per-pair sample layout
+    lane_rgeom = np.concatenate([rl_rgeom, rl_rgeom])
     return {
         "_robot_pairs": pairs,
-        "_robot_signs": np.asarray(signs, np.float32),
-        "_lane_rgeom": lane_rgeom,
+        "_rl_pair": rl_pair,       # [L] pair index per side lane
+        "_rl_rgeom": rl_rgeom,     # [L] robot geom per side lane
+        "_rl_pgeom": rl_pgeom,     # [L] part geom per side lane
+        "_rl_sign": rl_sign,       # [L,3] sample sign vector
+        "_lane_rgeom": lane_rgeom,  # [2L] robot geom per total lane
         "robot_np": {
             "_box_sizes": np.asarray(robot.geom_size, dtype=np.float32),
             "geom_friction": np.asarray(robot.geom_friction, dtype=np.float32),

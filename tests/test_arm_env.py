@@ -239,6 +239,47 @@ def test_baxter_bimanual():
     assert s.touch_l.shape == (2, env.model.n_parts)
 
 
+def test_baxter_grasp_lift():
+    """Baxter's right gripper must grasp and lift a part — mirrors the
+    Sawyer grasp test on the bimanual agent, exercising the dense 15-point
+    robot sample set (fingertip face-center contacts) that the old
+    lane-budget fallback used to drop to 8 corners for Baxter."""
+    env = ArmEnv(
+        EnvConfig(agent_type="Baxter", control_type="ik", sim=FAST_SIM)
+    )
+    step = jax.jit(env.step)
+    s = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    fk = K.fk(env.robot, s.qpos)
+    r = env.robot
+    # stage the leg at the midpoint of the right gripper's fingertips
+    # (Baxter's open gap is ~9 cm, so the part is re-pinned while the
+    # fingers travel — it would free-fall out of reach otherwise)
+    rg_pos, _ = K.geom_world(r, fk)
+    tip_l = np.asarray(rg_pos[np.asarray(r.finger_geoms_l["right"])[-1]])
+    tip_r = np.asarray(rg_pos[np.asarray(r.finger_geoms_r["right"])[-1]])
+    mid = 0.5 * (tip_l + tip_r)
+    pos = np.asarray(s.parts.pos).copy()
+    pos[0] = mid
+    s = s._replace(parts=s.parts._replace(pos=jnp.asarray(pos)))
+
+    # ik layout: [right6, left6, grip_right, grip_left, connect]
+    close = jnp.zeros(env.dof).at[12].set(1.0)
+    for _ in range(3):
+        s, *_ = step(s, close)
+        s = s._replace(parts=s.parts._replace(pos=jnp.asarray(pos)))
+    for _ in range(2):
+        s, *_ = step(s, close)
+    assert bool(np.asarray(s.touch_l)[0, 0]), "right-left finger not touching"
+    assert bool(np.asarray(s.touch_r)[0, 0]), "right-right finger not touching"
+
+    p0 = np.asarray(s.parts.pos[0]).copy()
+    lift = jnp.zeros(env.dof).at[2].set(1.0).at[12].set(1.0)
+    for _ in range(8):
+        s, *_ = step(s, lift)
+    dz = float(s.parts.pos[0][2] - p0[2])
+    assert dz > 0.08, f"Baxter did not lift the part (dz={dz})"
+
+
 def test_vmap_batching(env):
     B = 4
     states = jax.jit(jax.vmap(env.reset))(
