@@ -235,7 +235,13 @@ def bench_ilqr(reps: int = 3) -> float:
         c = unravel(x)
         return 100.0 * jnp.sum((c["pos"][0] - target) ** 2)
 
-    cfg = ILQRConfig(horizon=64, iterations=5)
+    # parallel-in-time Riccati: O(log H)-depth associative scan instead of
+    # a 64-long sequential backward scan (identical gains,
+    # tests/test_ilqr.py); profile: runs/profile_ilqr.json,
+    # docs/perf_planning.md. (A surrogate line search was measured SLOWER
+    # here: vmapped candidate width is free on this backend, extra
+    # sequential depth is not.)
+    cfg = ILQRConfig(horizon=64, iterations=5, parallel_riccati=True)
     plan = jax.jit(make_ilqr(f, running_cost, terminal_cost, cfg))
     u0 = jnp.zeros((cfg.horizon, env.dof))
     dt = _median_time(

@@ -108,12 +108,20 @@ def riccati_combine(e_earlier, e_later):
     return A_out, b_out, C_out, eta_out, J_out
 
 
-def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
+def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig, f_surrogate=None):
     """Build a jittable iLQR solve.
 
     f:             (x [n], u [m]) -> x' [n]
     running_cost:  (x, u, t) -> scalar
     terminal_cost: (x) -> scalar
+    f_surrogate:   optional cheap dynamics twin (e.g. the contact-free
+                   surrogate of ``flatten_env_dynamics``). When given, the
+                   parallel line search RANKS its candidates on the
+                   surrogate and re-rolls only the winning step size on the
+                   full dynamics (whose cost gates acceptance) — a
+                   trust-region-style surrogate line search that replaces
+                   len(alphas) full-physics rollouts per iteration with
+                   len(alphas) cheap ones + 1 full one.
 
     Returns ``plan(x0, u_init [H,m]) -> (u*, info)``.
     """
@@ -228,29 +236,35 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
 
     backward_fn = backward_parallel if cfg.parallel_riccati else backward
 
-    def forward(x0, xs_ref, us_ref, ks, Ks, alpha):
-        """Closed-loop rollout with the new gains at step size alpha.
+    def make_forward(f_dyn):
+        def forward(x0, xs_ref, us_ref, ks, Ks, alpha):
+            """Closed-loop rollout with the new gains at step size alpha.
 
-        Returns (us, cost): the rollout already visits every state, so the
-        candidate's cost accumulates in the same scan — re-rolling the
-        dynamics in a separate total_cost would double the line search's
-        dominant expense."""
+            Returns (us, cost): the rollout already visits every state, so
+            the candidate's cost accumulates in the same scan — re-rolling
+            the dynamics in a separate total_cost would double the line
+            search's dominant expense."""
 
-        def body(carry, inp):
-            x, acc, t = carry
-            x_ref, u_ref, k, Kt = inp
-            u = u_ref + alpha * k + Kt @ (x - x_ref)
-            u = jnp.clip(u, cfg.u_min, cfg.u_max)
-            acc = acc + running_cost(x, u, t)
-            return (f(x, u), acc, t + 1), (u, x)
+            def body(carry, inp):
+                x, acc, t = carry
+                x_ref, u_ref, k, Kt = inp
+                u = u_ref + alpha * k + Kt @ (x - x_ref)
+                u = jnp.clip(u, cfg.u_min, cfg.u_max)
+                acc = acc + running_cost(x, u, t)
+                return (f_dyn(x, u), acc, t + 1), (u, x)
 
-        (x_last, acc, _), (us, xs) = jax.lax.scan(
-            body,
-            (x0, jnp.float32(0.0), jnp.int32(0)),
-            (xs_ref[:-1], us_ref, ks, Ks),
-        )
-        xs_full = jnp.concatenate([xs, x_last[None]], axis=0)    # [H+1,n]
-        return us, acc + terminal_cost(x_last), xs_full
+            (x_last, acc, _), (us, xs) = jax.lax.scan(
+                body,
+                (x0, jnp.float32(0.0), jnp.int32(0)),
+                (xs_ref[:-1], us_ref, ks, Ks),
+            )
+            xs_full = jnp.concatenate([xs, x_last[None]], axis=0)  # [H+1,n]
+            return us, acc + terminal_cost(x_last), xs_full
+
+        return forward
+
+    forward = make_forward(f)
+    forward_sur = make_forward(f_surrogate) if f_surrogate is not None else None
 
     def plan(x0, u_init):
         def iteration(carry, _):
@@ -258,20 +272,33 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
             exp = linearize(xs, us)
             ks, Ks, _ = backward_fn(*exp, reg)
 
-            # each candidate's rollout already produces its state sequence;
-            # the accepted candidate's xs carries to the next iteration's
-            # linearization (no separate re-rollout per iteration)
-            cand_us, cand_costs, cand_xs = jax.vmap(
-                lambda a: forward(x0, xs, us, ks, Ks, a)
-            )(jnp.asarray(cfg.alphas))
-            best = jnp.argmin(cand_costs)
-            improved = cand_costs[best] < cost
-            oh = jax.nn.one_hot(best, len(cfg.alphas), dtype=us.dtype)
-            best_us = jnp.einsum("a,ahm->hm", oh, cand_us)
-            best_xs = jnp.einsum("a,ahn->hn", oh, cand_xs)
+            if forward_sur is not None:
+                # rank candidates on the cheap surrogate, then roll only
+                # the winner on the full dynamics (which gates acceptance)
+                _, sur_costs, _ = jax.vmap(
+                    lambda a: forward_sur(x0, xs, us, ks, Ks, a)
+                )(jnp.asarray(cfg.alphas))
+                best = jnp.argmin(sur_costs)
+                alpha_b = jnp.asarray(cfg.alphas)[best]
+                best_us, best_cost, best_xs = forward(
+                    x0, xs, us, ks, Ks, alpha_b
+                )
+            else:
+                # each candidate's rollout already produces its state
+                # sequence; the accepted candidate's xs carries to the next
+                # iteration's linearization (no separate re-rollout)
+                cand_us, cand_costs, cand_xs = jax.vmap(
+                    lambda a: forward(x0, xs, us, ks, Ks, a)
+                )(jnp.asarray(cfg.alphas))
+                best = jnp.argmin(cand_costs)
+                oh = jax.nn.one_hot(best, len(cfg.alphas), dtype=us.dtype)
+                best_us = jnp.einsum("a,ahm->hm", oh, cand_us)
+                best_xs = jnp.einsum("a,ahn->hn", oh, cand_xs)
+                best_cost = cand_costs[best]
+            improved = best_cost < cost
             us_new = jnp.where(improved, best_us, us)
             xs_new = jnp.where(improved, best_xs, xs)
-            cost_new = jnp.minimum(cand_costs[best], cost)
+            cost_new = jnp.minimum(best_cost, cost)
             reg_new = jnp.clip(
                 jnp.where(improved, reg * 0.5, reg * 10.0),
                 cfg.reg_init,
@@ -279,8 +306,13 @@ def make_ilqr(f, running_cost, terminal_cost, cfg: ILQRConfig):
             )
             return (us_new, xs_new, reg_new, cost_new), cost_new
 
-        cost0 = total_cost(x0, u_init)
+        # one rollout serves both the initial trajectory and its cost — a
+        # separate total_cost would double the sequential rollout depth,
+        # which is what the solve time is made of on this backend
         xs0 = rollout(x0, u_init)
+        cost0 = jnp.sum(
+            jax.vmap(running_cost)(xs0[:-1], u_init, jnp.arange(H))
+        ) + terminal_cost(xs0[-1])
         (us, _, _, cost), hist = jax.lax.scan(
             iteration,
             (u_init, xs0, jnp.float32(cfg.reg_init), cost0),
@@ -419,6 +451,9 @@ def flatten_env_dynamics(
                 return pullback(g)
 
             f.defvjp(f_fwd, f_bwd)
+            # expose the contact-free twin for the surrogate line search
+            # (make_ilqr f_surrogate)
+            f.f_smooth = f_smooth
         else:
             f = f_full
 
