@@ -258,6 +258,51 @@ def compile_model(furniture_name: str, size_scale: float = 1.0) -> CompiledModel
             # store for parallel-axis pass
             geom_rows[-1] = geom_rows[-1] + (m,)
 
+    # mesh-collision fallback: a few models (e.g. shelf_liden_0922) carry
+    # ONLY type="mesh" collision geoms, which have no primitive shape here.
+    # The reference's own bounding machinery is the part's
+    # top/bottom/horizontal_radius sites (``env/furniture.py:749-762``,
+    # ``objects.py:166-184``); synthesize one bounding-box prim per such
+    # part from them (SURVEY §7.4's "mesh-bbox approximation").
+    parts_with_prims = {r[0] for r in geom_rows}
+    for b in parts:
+        pi = part_index[b["name"]]
+        if pi in parts_with_prims:
+            continue
+        mesh_gs = [
+            g for g in b["geoms"]
+            if g["type"] == "mesh" and g["contype"] != 0
+        ]
+        if not mesh_gs:
+            continue
+        top = bot = None
+        hr = 0.05
+        for s in b["sites"]:
+            n = s["name"] or ""
+            if n.endswith("top_site"):
+                top = float(s["pos"][2])
+            elif n.endswith("bottom_site"):
+                bot = float(s["pos"][2])
+            elif "horizontal_radius" in n:
+                hr = max(
+                    abs(float(s["pos"][0])), abs(float(s["pos"][1])), 1e-3
+                )
+        if top is None or bot is None:
+            top, bot = 0.02, -0.02
+        g0 = mesh_gs[0]
+        half = [hr, hr, max((top - bot) / 2.0, 1e-3)]
+        center = [0.0, 0.0, (top + bot) / 2.0]
+        m, diag = _geom_mass_inertia(
+            {**g0, "type": "box", "size": half, "pos": center}
+        )
+        geom_rows.append(
+            (pi, BOX, half, center, [1.0, 0.0, 0.0, 0.0],
+             g0["friction"][0], g0["solref"], m)
+        )
+        part_mass[pi] += m
+        part_com[pi] += m * np.asarray(center)
+        part_inertia[pi] += np.diag(diag)
+
     part_mass = np.maximum(part_mass, 1e-6)
     part_com = part_com / part_mass[:, None]
     # parallel-axis: shift each geom inertia from its own center to part COM
