@@ -42,6 +42,13 @@ class SimConfig:
     # hard safety clamp on part velocities (replaces the reference's
     # instability-exception reset, env/furniture.py:2889-2897)
     max_velocity: float = 10.0
+    # grasp-aware velocity clamp (m/s, rad/s), DISABLED by default (0):
+    # measured on 128-lane TPU batches, pinch-gated clamping cost more
+    # completed assemblies than it saved (the 2-6 m/s mating-phase leg
+    # ejections mostly occur in un-pinched instants, which the gate cannot
+    # touch, while the clamp slows legitimate carry corrections).
+    held_vel_clamp: float = 0.0
+    held_angvel_clamp: float = 8.0
     # kinematic-gripper squeeze overlap: fingers servo at most this far past
     # first part contact (emulates MuJoCo's force-limited finger servos)
     gripper_squeeze: float = 0.004
@@ -59,19 +66,27 @@ class SimConfig:
     mega_block: int = 256
     # arm megakernel block (more lanes/state per env → smaller block fits VMEM)
     arm_mega_block: int = 128
-    # contact-lane budget for the arm megakernel: when the dense 15-point
-    # robot sample set would push the total lane count past this, the robot
-    # narrow phase drops to the 8-corner set (both the XLA path and the
-    # Pallas kernel, so parity holds). Sized so the kernel's live [K,block]
-    # working set fits v5e VMEM: Baxter's 2 arms × 14 hand geoms at 15
-    # samples (K=2300) spills ~141 MB of vregs and fails Mosaic compile;
-    # at 8 samples (K=1320) it fits. Sawyer (K=1250 dense) keeps 15.
+    # contact-lane budget for the arm megakernel: the robot sample sets
+    # densify in tiers under this cap — all hand geoms at the 15-point set
+    # if the total lane count fits, else finger geoms dense, else
+    # fingertips dense, else all 8-corner (engine.robot_contact_tables;
+    # XLA narrow phase and Pallas kernel read the same tables so parity
+    # holds). Sized so the kernel's live [K,block] working set fits v5e
+    # VMEM: Baxter all-dense (K=2310) and fingers-dense (K=2170) both
+    # spill at Mosaic compile; fingertips-dense (K=1610) fits. Sawyer
+    # (K=1260 all-dense) keeps the full set.
     arm_lane_budget: int = 1700
     # two-way gripper↔part contact coupling: contact impulses on robot geoms
     # return as Jᵀλ joint-space impulses so grasped part weight loads the arm
     # (MuJoCo native behavior; the reference steps these contacts two-way in
     # mj_step, env/furniture.py:2877-2879)
     robot_coupling: bool = True
+    # clamp on the per-joint contact-impulse feedback, expressed as a
+    # torque (N·m; impulse cap = value·dt). Physical part-weight loading is
+    # ≤1 N·m here; the clamp only removes the pathological spikes that
+    # occur when a part state rides the max_velocity clamp (λ ∝ m·10 m/s),
+    # which otherwise jerk the arm and turn the pads into bats.
+    robot_coupling_clamp: float = 20.0
     # finger-servo press velocity (m/s). The reference's finger position
     # servos are force-limited actuators (kp=1e4-1e6, forcerange ±20 N,
     # grippers/two_finger_gripper.xml): blocked against a part, the pad

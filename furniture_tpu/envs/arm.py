@@ -282,6 +282,8 @@ class ArmEnv:
         # warm-start buffer: base lanes + robot lanes (see engine.substeps)
         n_lam = self.substep.n_base_lanes + len(self._lane_part)
 
+        n_base = self.substep.n_base_lanes
+
         def body(carry, _):
             qpos, qvel, parts, lam_ws = carry
             fk_out = K.fk(r, qpos)
@@ -377,6 +379,9 @@ class ArmEnv:
                 p_c = K.contact_impulses_to_joints(
                     r, fk_out, extra.point, anc_lane, lam_imp
                 )
+                # spike clamp (SimConfig.robot_coupling_clamp)
+                pc_cap = cfg.robot_coupling_clamp * cfg.timestep
+                p_c = jnp.clip(p_c, -pc_cap, pc_cap)
             else:
                 parts2, lam_ws = self.substep(
                     parts, state.group, gscale, extra_contacts=extra,
@@ -384,6 +389,50 @@ class ArmEnv:
                     return_lam=True,
                 )
                 p_c = jnp.zeros(r.nj)
+            # grasp-aware velocity clamp (SimConfig.held_vel_clamp): a
+            # pinched group's speed is bounded at hand scale — the explicit
+            # coupling otherwise pumps energy when a held part is wedged
+            # against the structure (connector mating) and ejects it
+            if cfg.held_vel_clamp > 0:
+                lane_part = jnp.asarray(self._lane_part)
+                pinched = jnp.zeros(self._P, bool)
+                for arm in self.arms:
+                    tl = (
+                        jax.ops.segment_max(
+                            (extra.mask & jnp.asarray(self._lane_l[arm])).astype(
+                                jnp.int32
+                            ),
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                    tr = (
+                        jax.ops.segment_max(
+                            (extra.mask & jnp.asarray(self._lane_r[arm])).astype(
+                                jnp.int32
+                            ),
+                            lane_part,
+                            num_segments=self._P,
+                        )
+                        > 0
+                    )
+                    pinched = pinched | (tl & tr & deeps[arm])
+                pin_g = jnp.any(
+                    (state.group[:, None] == state.group[None, :])
+                    & pinched[None, :],
+                    axis=1,
+                )
+
+                def cap_vec(v, cap):
+                    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+                    scale = jnp.minimum(1.0, cap / jnp.maximum(n, 1e-9))
+                    return jnp.where(pin_g[:, None], v * scale, v)
+
+                parts2 = parts2._replace(
+                    lin_vel=cap_vec(parts2.lin_vel, cfg.held_vel_clamp),
+                    ang_vel=cap_vec(parts2.ang_vel, cfg.held_angvel_clamp),
+                )
             qpos2, qvel2 = K.integrate_precomputed(
                 r, G1, G2, qpos, qvel, tau, p_c, cfg.timestep
             )

@@ -452,9 +452,12 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 a.at[6].set(-1.0).at[0:3].set(d),
                 a.at[6].set(1.0),
             )
-            # on grasp: safepos <- gripbase + waypoints (offsets)
+            # on grasp: safepos <- gripbase + waypoints (offsets); carry
+            # height floored so the hanging leg clears the assembly during
+            # the lift-and-traverse (see z_keep above)
             off = jnp.asarray(self._wp)[gen.part, :, :3]
             tgt = gripbase[None, :] + off + gen.noise_wp[None, :]
+            tgt = tgt.at[:, 2].set(jnp.maximum(tgt[:, 2], 0.40))
             return act, gen._replace(
                 z_move_g_prev=jnp.where(
                     descending, griptip[2] - 1e-4, gen.z_move_g_prev
@@ -486,6 +489,21 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
                 phase=jnp.where(done_wp, ALIGN_CONN, gen.phase).astype(jnp.int32),
             )
 
+        # safe traverse height for the held leg's conn site: clear of the
+        # tabletop surface and anything already assembled on it. The
+        # reorientation leaves the leg hanging below the hand; traversing
+        # with the tip at tabletop height grazes the assembly, and a
+        # rigid-grasp-vs-welded-structure contact ejects the leg (measured:
+        # carry-phase peak leg speeds of 2-7 m/s, tools/profile_gen.py)
+        z_keep = tconn_pos[2] + z_conn + self._z_finedist + 0.04
+
+        def _hold_z(act):
+            # altitude FLOOR, not a target: only push up when the tip sinks
+            # below the safe height — dragging a freshly lifted leg back
+            # down through clutter costs more grasps than it saves
+            dz = jnp.clip(z_keep - gconn_pred[2], 0.0, 0.3)
+            return act.at[2].set(jnp.where(dz > self.eps, dz, 0.0))
+
         def ph_align_conn(gen):
             # up axes first, then the allowed-angle xy rotation (reference
             # align_conn, furniture_sawyer_gen.py:552-572). Corrections are
@@ -499,7 +517,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             w_fwd = _fwd_correction(rel, angles, amask, has_angles, self.rot_eps)
             done_rot = up_zero & jnp.all(w_fwd == 0.0)
             rot = 2.0 * jnp.where(up_zero, w_fwd, w_up)
-            act = act.at[3:6].set(to_act(rot))
+            act = _hold_z(act.at[3:6].set(to_act(rot)))
             return act, gen._replace(
                 phase=jnp.where(done_rot, XY_MOVE_CONN, gen.phase).astype(jnp.int32),
             )
@@ -510,7 +528,7 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             # opportunistic press: the env accepts a connect whenever its
             # alignment predicate holds — firing at the earliest aligned
             # instant skips the risky fine descent into table contact
-            act = act.at[0:2].set(d)
+            act = _hold_z(act.at[0:2].set(d))
             act = jnp.where(fine_ok, act.at[7].set(1.0), act)
             return act, gen._replace(
                 phase=jnp.where(reached, Z_MOVE_CONN, gen.phase).astype(jnp.int32)
@@ -649,10 +667,14 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
         # ±1 (max eef speed), which bang-bangs the compliant grasp until the
         # leg is flung out; while carrying, cap translation at 40%
         carrying = (
-            (gen.phase == MOVE_WAYPOINTS)
-            | (gen.phase == XY_MOVE_CONN)
-            | (gen.phase == Z_MOVE_CONN)
+            (gen.phase == MOVE_WAYPOINTS) | (gen.phase == XY_MOVE_CONN)
         )
+        # the connector descent gets its own slower cap: most connects fire
+        # via the opportunistic press DURING this approach, and the descent
+        # is where mating-contact ejections peak — slower approach gives
+        # the aligned-press more chances per cm and builds less wedge
+        # energy against the tabletop
+        descending_conn = gen.phase == Z_MOVE_CONN
         # pre-grasp approach is also capped (at 50%): full-speed saturated
         # moves overshoot the IK target low-pass and orbit the 1 cm grasp
         # tolerance instead of settling (41% of all generator time was
@@ -662,7 +684,11 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
             | (gen.phase == XY_MOVE_G)
             | (gen.phase == ALIGN_G)
         )
-        cap = jnp.where(carrying, 0.25, jnp.where(pregrasp, 0.5, 1.0))
+        cap = jnp.where(
+            descending_conn,
+            0.1,
+            jnp.where(carrying, 0.25, jnp.where(pregrasp, 0.5, 1.0)),
+        )
         action = action.at[0:3].set(jnp.clip(action[0:3], -cap, cap))
 
         # advance to next part when the env connected this part

@@ -1010,8 +1010,21 @@ class ArmMegaPhysics:
                 return (ln, jnp.clip(l1, -mf, mf), jnp.clip(l2, -mf, mf))
 
             # warm-start cap at resting-contact scale (engine.WARM_CAP_ACC):
-            # discard stale impact spikes, keep steady-state impulses
-            capw = 200.0 * inv_w[0] * dt
+            # discard stale impact spikes, keep steady-state impulses.
+            # Robot (kinematic-finger) lanes carry a 10x TIGHTER cap: a
+            # stale over-applied impulse between two stiff kinematic pads
+            # amplifies the explicit finger<->part coupling into a growing
+            # oscillation that ejects held parts (the under-relaxed
+            # mass-split sweep cannot unwind it), while some persistence is
+            # what lets the servo-press squeeze accumulate force closure
+            capfac = jnp.concatenate(
+                [
+                    jnp.full((Kf + Kp + Ke, Bb), 200.0, jnp.float32),
+                    jnp.full((Kr, Bb), 30.0, jnp.float32),
+                ],
+                axis=0,
+            )
+            capw = capfac * inv_w[0] * dt
             l0w = jnp.minimum(lam_ws[0], capw)
             mfw = FRIC * l0w
             lam_init = (
@@ -1023,6 +1036,26 @@ class ArmMegaPhysics:
             lv, av, imp = apply(lam)
             lv = tuple(jnp.clip(c, -maxv, maxv) for c in lv)
             av = tuple(jnp.clip(c, -maxv, maxv) for c in av)
+            # grasp-aware velocity clamp (SimConfig.held_vel_clamp; mirrors
+            # envs/arm._sim_substeps): pinched groups bounded at hand scale
+            if cfg.held_vel_clamp > 0:
+                pin_any = jnp.zeros((P, Bb), jnp.float32)
+                for a_i in range(self.n_arms):
+                    tl = touch_new[(2 * a_i) * P : (2 * a_i + 1) * P]
+                    tr = touch_new[(2 * a_i + 1) * P : (2 * a_i + 2) * P]
+                    deep_f = deeps_floor[a_i].astype(jnp.float32)
+                    pin_any = jnp.maximum(pin_any, tl * tr * deep_f)
+                pin_g = jnp.max(member * pin_any[None, :, :], axis=1)
+
+                def cap_vec(v, cap):
+                    n = jnp.sqrt(_dot3(v, v) + 1e-18)
+                    scale = jnp.minimum(1.0, cap / n)
+                    return tuple(
+                        jnp.where(pin_g > 0, c * scale, c) for c in v
+                    )
+
+                lv = cap_vec(lv, cfg.held_vel_clamp)
+                av = cap_vec(av, cfg.held_angvel_clamp)
 
             # ================= joint integration =================
             # contact reaction impulse onto the arm: p_c = Jᵀ(−λ)
@@ -1047,6 +1080,9 @@ class ArmMegaPhysics:
                 )
             if couple:
                 p_c = jnp.concatenate(pc_rows, axis=0)            # [NJ,Bb]
+                # spike clamp (SimConfig.robot_coupling_clamp; see envs/arm)
+                pc_cap = cfg.robot_coupling_clamp * dt
+                p_c = jnp.clip(p_c, -pc_cap, pc_cap)
             else:
                 p_c = jnp.zeros_like(qv)
 

@@ -126,6 +126,7 @@ def _solve_contacts(
     min_normal=None,
     lam0=None,
     return_lam: bool = False,
+    warm_cap=None,
 ):
     """Impulse-accumulating Jacobi solve; returns updated group velocities.
 
@@ -253,8 +254,11 @@ def _solve_contacts(
         # cap the warm start at a resting-contact scale (~20x the weight
         # impulse, WARM_CAP_ACC·m_eff·dt): a stale IMPACT impulse re-applied
         # as the initial guess launches the part, and the under-relaxed
-        # Jacobi sweep cannot unwind a large overshoot within `iters`
-        cap = WARM_CAP_ACC * inv_w[:, 0] * dt
+        # Jacobi sweep cannot unwind a large overshoot within `iters`.
+        # ``warm_cap`` overrides the acceleration scale per lane (robot
+        # kinematic-finger lanes use a 10x tighter cap — see envs/arm).
+        acc = WARM_CAP_ACC if warm_cap is None else warm_cap
+        cap = acc * inv_w[:, 0] * dt
         ln0 = jnp.minimum(lam0[:, 0], cap)
         mf0 = c.friction[:, None] * ln0[:, None]
         init = jnp.concatenate(
@@ -370,6 +374,16 @@ def make_substep(model_np, cfg_sim):
             )
         if lam_warm is not None:
             kwargs["lam0"] = lam_warm
+            if extra_contacts is not None:
+                # robot kinematic-finger lanes: 10x tighter warm-start cap
+                # (see the lam0 cap note in _solve_contacts)
+                n_extra = extra_contacts.depth.shape[0]
+                kwargs["warm_cap"] = jnp.concatenate(
+                    [
+                        jnp.full((n_base,), WARM_CAP_ACC, jnp.float32),
+                        jnp.full((n_extra,), WARM_CAP_ACC * 0.15, jnp.float32),
+                    ]
+                )
         if return_lam:
             kwargs["return_lam"] = True
         # the legacy lane solver takes none of the extended features; fall

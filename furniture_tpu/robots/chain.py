@@ -475,8 +475,21 @@ def compile_robot(agent: str, use_torque: bool = False) -> CompiledRobot:
         for gi, j in enumerate(gripper_joints[arm][: len(ginit)]):
             init_qpos[j] = ginit[gi]
 
-    # gripper joint velocity caps + closing signs
+    # joint velocity caps + closing signs.
+    # Arm joints driven by VELOCITY servos are capped at 1.5x the servo's
+    # command range: a velocity-servo'd joint cannot physically sustain
+    # speeds past its range, and without the cap the explicit contact
+    # coupling admits a mutual runaway — part ping-pong in the grasp feeds
+    # Jᵀλ impulses to the arm, the arm sweeps faster, the pads bat the
+    # part harder (observed: qvel hitting 12 rad/s and held parts ejected
+    # across the workspace at 10+ m/s).
     jnt_maxvel = np.full(NJ, np.inf)
+    for i in range(NA):
+        if act_kind[i] == VELOCITY:
+            j = act_joint[i]
+            jnt_maxvel[j] = min(
+                jnt_maxvel[j], 1.5 * float(np.abs(act_ctrl[i]).max())
+            )
     act_close_sign = np.zeros(NA)
     for arm in arms:
         for j in gripper_joints[arm]:

@@ -11,6 +11,7 @@ import os
 import pickle
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -18,7 +19,7 @@ from furniture_tpu import rl
 
 DEMO_GLOBS = [
     os.path.join(os.path.dirname(__file__), "..", "demos", d, "*.pkl")
-    for d in ("generated", "generated2")
+    for d in ("generated",)
 ]
 
 

@@ -196,17 +196,22 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--max_steps", type=int, default=2400)
     p.add_argument("--seed", type=int, default=2)
+    p.add_argument("--solver_iters", type=int, default=None)
     p.add_argument("--out", default="runs/profile_gen.json")
     args = p.parse_args()
 
-    from furniture_tpu.config import EnvConfig
+    from furniture_tpu.config import EnvConfig, SimConfig
     from furniture_tpu.envs.sawyer_gen import FurnitureSawyerGenEnv
 
+    sim = SimConfig() if args.solver_iters is None else SimConfig(
+        solver_iters=args.solver_iters
+    )
     env = FurnitureSawyerGenEnv(
         EnvConfig(
             agent_type="Sawyer",
             control_type="ik",
             furniture_name=args.furniture,
+            sim=sim,
         )
     )
     traj = rollout_diag(env, args.batch, args.max_steps, args.seed)
