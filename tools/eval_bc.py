@@ -38,6 +38,13 @@ def main():
     p.add_argument("--episodes", type=int, default=32)
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--pool_offset", type=int, default=0,
+        help="when >0, evaluate from an init-state pool harvested this many "
+        "steps before each demo's success (the reference's "
+        "--load_init_states curriculum loop, env/furniture.py:127-130) "
+        "instead of from scratch resets",
+    )
     p.add_argument("--out", default="runs/bc_eval.json")
     args = p.parse_args()
 
@@ -73,10 +80,37 @@ def main():
         )
     )
 
+    if args.pool_offset > 0:
+        snaps = []
+        for d in demos:
+            sts = d.get("states") or []
+            if len(sts) > args.pool_offset:
+                s0 = sts[len(sts) - 1 - args.pool_offset]
+                snaps.append({
+                    "pos": np.asarray(s0["parts_pos"]),
+                    "quat": np.asarray(s0["parts_quat"]),
+                    "group": np.asarray(s0["group"]),
+                    "weld_active": np.asarray(s0["weld_active"]),
+                    "conn_connected": np.asarray(s0["conn_connected"]),
+                    "num_connected": np.asarray(s0["num_connected"]),
+                    "qpos": np.asarray(s0["qpos"]),
+                    "qvel": np.zeros_like(np.asarray(s0["qvel"])),
+                })
+        from furniture_tpu.utils.init_pool import stack_pool
+
+        env.set_init_state_pool(stack_pool(snaps))
+        print(f"init pool: {len(snaps)} near-success states",
+              file=_sys.stderr)
+
     B = args.episodes
     key = jax.random.PRNGKey(args.seed + 1)
     states = jax.jit(env.reset_batch)(jax.random.split(key, B))
     params = st.params
+
+    # success criterion: with pool restores the state already carries
+    # connects and the dense subtask bookkeeping restarts, so score an
+    # ADDITIONAL connect; from-scratch eval scores the env's own success
+    nconn0 = states.num_connected
 
     def seg(states, succeeded, succ_t, t0, n):
         def body(carry, t):
@@ -85,7 +119,10 @@ def main():
             obs_vec = N.flatten_obs(obs)
             action = jax.vmap(lambda o: N.policy_dist(params, o)[0])(obs_vec)
             states, _, rew, done, info = env.step_batch(states, action)
-            success = info["success"].astype(bool)
+            if args.pool_offset > 0:
+                success = states.num_connected > nconn0
+            else:
+                success = info["success"].astype(bool)
             newly = success & ~succeeded
             succ_t = jnp.where(newly, t + 1, succ_t)
             succeeded = succeeded | success
@@ -119,6 +156,10 @@ def main():
         "n_success": int(succeeded.sum()),
         "success_steps": sorted(
             int(t) for t in np.asarray(succ_t)[np.asarray(succeeded)]
+        ),
+        "pool_offset": args.pool_offset,
+        "criterion": (
+            "additional_connect" if args.pool_offset > 0 else "env_success"
         ),
         "furniture_name": args.furniture,
         "seed": args.seed,
