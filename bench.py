@@ -163,17 +163,23 @@ def bench_mppi(reps: int = 10) -> tuple:
     table_lack (BASELINE.md: "64-step MPC on table_lack"). One solve = one
     full plan iteration = 16384 megakernel env steps + weight update.
 
-    The planner rolls out a coarsened internal model (10 physics substeps
-    per control step instead of 50, 8 solver iters instead of 24 — the
-    standard MPC practice of planning on a cheaper model than the one you
-    execute on; ``bench_ilqr`` uses the same substep coarsening)."""
+    The planner rolls out a coarsened internal model (5 physics substeps
+    of dt=0.02 per control step instead of 50 of dt=0.002, 8 solver iters
+    — the standard MPC practice of planning on a cheaper model than the
+    one you execute on; ``bench_ilqr`` uses the same substep coarsening).
+
+    Measured round 5: median ~9.3-10 solves/s with min ~8 across 10 reps —
+    the solve is glue-latency-bound per sequential control step (the same
+    cursor pre-physics documented in docs/perf_cursor.md), so the
+    remaining real-time margin comes from folding that glue into the
+    megakernel, not from the planner."""
     from furniture_tpu.planning import MPPIConfig, make_mppi
     from furniture_tpu.config import SimConfig
 
     env = CursorEnv(
         EnvConfig(
             furniture_name="table_lack_0825",
-            sim=SimConfig(timestep=0.01, solver_iters=8),
+            sim=SimConfig(timestep=0.02, solver_iters=8),
         )
     )
     cfg = MPPIConfig(horizon=64, n_samples=256, sigma=0.3)
