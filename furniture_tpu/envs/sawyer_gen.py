@@ -219,10 +219,10 @@ class FurnitureSawyerGenEnv(FurnitureSawyerDenseRewardEnv):
     (reference ``FurnitureSawyerGenEnv``, ``furniture_sawyer_gen.py:13``)."""
 
     def __init__(self, config: EnvConfig | None = None, model=None):
-        # carry/grasp rigidity comes from the bounded-force finger squeeze
-        # (SimConfig.grip_force, the reference's forcerange ±20 N servos) —
-        # no per-env overrides needed; the velocity-blend assists earlier
-        # rounds floored here are retired.
+        # carry/grasp rigidity comes from the finger-servo press squeeze
+        # (SimConfig.grip_press_vel; the reference's force-limited finger
+        # servos) — no per-env overrides needed; the velocity-blend assists
+        # earlier rounds floored here are retired.
         super().__init__(config, model)
         p = self.model.recipe_raw
         self._p = p

@@ -133,11 +133,9 @@ def _solve_contacts(
     Jacobi (not Gauss-Seidel) so every contact lane updates in parallel on
     the VPU; under-relaxation keeps it convergent.
 
-    ``min_normal`` [K] (optional): per-lane normal-impulse floor — the
-    bounded-force finger squeeze (``SimConfig.grip_force``). An engaged
-    finger servo blocked against a part presses with its force limit; the
-    floor keeps that much normal impulse in the lane so the friction cone
-    has the corresponding budget (force closure).
+    ``min_normal`` [K] (optional): per-lane normal-impulse floor (kept as a
+    general solver feature; the finger squeeze that originally used it now
+    goes through the prescribed press velocity, ``SimConfig.grip_press_vel``).
 
     ``lam0`` [K,3] (optional): warm-start impulses, normally the previous
     substep's converged ``lam`` (contact lanes are static, so the manifold
